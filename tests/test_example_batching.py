@@ -1,0 +1,148 @@
+"""Example-assembly + batching contract tests.
+
+Parity model: reference transform tests (transforms/tests/test_transforms.py)
+plus the datamodule batch-shape invariants (test_datamodule.py:82-125).
+"""
+import numpy as np
+import pytest
+
+from dpr_scale_tpu.data import (
+    DPRBatcher,
+    DPRExampleBuilder,
+    HFTokenizer,
+    MemoryMappedDataset,
+    TextBatcher,
+    CSVDataset,
+)
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tiny_bert_dir):
+    return HFTokenizer(tiny_bert_dir, max_seq_len=16)
+
+
+def test_builder_pads_and_masks(dpr10_jsonl):
+    ds = MemoryMappedDataset(dpr10_jsonl)
+    builder = DPRExampleBuilder(num_negative=3, seed=0)
+    for i in range(len(ds)):
+        ex = builder.build(ds[i], stage="train")
+        assert len(ex.ctx_texts) == 4  # 1 pos + 3 neg slots
+        assert ex.ctx_is_dummy[0] is False  # positive is first and real
+        n_real_neg = min(i % 5, 3)
+        assert sum(ex.ctx_is_dummy) == 3 - n_real_neg
+        # dummies are all trailing
+        assert ex.ctx_is_dummy == sorted(ex.ctx_is_dummy)
+        assert len(ex.scores) == 4
+
+
+def test_builder_stage_negative_counts(dpr10_jsonl):
+    ds = MemoryMappedDataset(dpr10_jsonl)
+    b = DPRExampleBuilder(num_negative=5, num_val_negative=2, num_test_negative=1)
+    assert len(b.build(ds[0], "train").ctx_texts) == 6
+    assert len(b.build(ds[0], "eval").ctx_texts) == 3
+    assert len(b.build(ds[0], "test").ctx_texts) == 2
+
+
+def test_builder_dpr_output_format():
+    row = {
+        "question": "who",
+        "ctxs": [
+            {"title": "a", "text": "t a", "has_answer": False, "score": 1},
+            {"title": "b", "text": "t b", "has_answer": True, "score": 2},
+        ],
+    }
+    ex = DPRExampleBuilder(num_negative=2).build(row, "train")
+    assert ex.ctx_texts[0] == "t b"  # has_answer ctx becomes the positive
+    assert ex.ctx_is_dummy == [False, False, True]
+
+    # no has_answer at all -> first ctx is used as positive
+    for c in row["ctxs"]:
+        c["has_answer"] = False
+    ex = DPRExampleBuilder(num_negative=2).build(row, "train")
+    assert ex.ctx_texts[0] == "t a"
+
+
+def test_builder_title_concat():
+    row = {
+        "question": "who",
+        "positive_ctxs": [{"title": "Ti", "text": "Tx"}],
+        "hard_negative_ctxs": [],
+    }
+    ex = DPRExampleBuilder(num_negative=0, use_title=True, sep_token="[SEP]").build(
+        row, "train"
+    )
+    assert ex.ctx_texts[0] == "Ti [SEP] Tx"
+
+
+def test_builder_relevance_sampling_prefers_high_relevance():
+    row = {
+        "question": "who",
+        "positive_ctxs": [
+            {"title": "lo", "text": "lo", "relevance": 0.001},
+            {"title": "hi", "text": "hi", "relevance": 1000.0},
+        ],
+        "hard_negative_ctxs": [],
+    }
+    b = DPRExampleBuilder(
+        num_negative=0, pos_ctx_sample=True, rel_sample=True, seed=0
+    )
+    picks = [b.build(row, "train").ctx_texts[0] for _ in range(25)]
+    assert picks.count("hi") >= 24
+
+
+def test_builder_docidx_corpus(dpr10_tsv):
+    corpus = MemoryMappedDataset(dpr10_tsv, header=True)
+    row = {
+        "question": "who",
+        "positive_ctxs": [{"docidx": 2}],
+        "hard_negative_ctxs": [{"docidx": 5}],
+    }
+    b = DPRExampleBuilder(num_negative=2, corpus=corpus, use_title=True, sep_token="|")
+    ex = b.build(row, "train")
+    assert ex.ctx_texts[0] == "passage title 2 | passage text 2"
+    assert ex.ctx_texts[1] == "passage title 5 | passage text 5"
+    # dummy fetched docidx 0
+    assert ex.ctx_texts[2] == "passage title 0 | passage text 0"
+    assert ex.ctx_is_dummy == [False, False, True]
+
+
+@pytest.mark.parametrize("batch_size", [1, 3, 5, 10])
+def test_batch_shapes(dpr10_jsonl, tokenizer, batch_size):
+    ds = MemoryMappedDataset(dpr10_jsonl)
+    builder = DPRExampleBuilder(num_negative=3)
+    batcher = DPRBatcher(tokenizer)
+    rows = [ds[i] for i in range(batch_size)]
+    batch = batcher(builder.build_batch(rows, "train"))
+    C = 4
+    L = 16
+    assert batch["query_ids"].shape == (batch_size, L)
+    assert batch["query_mask"].shape == (batch_size, L)
+    assert batch["contexts_ids"].shape == (batch_size * C, L)
+    assert batch["contexts_mask"].shape == (batch_size * C, L)
+    assert batch["pos_ctx_indices"].shape == (batch_size,)
+    assert batch["scores"].shape == (batch_size, C)
+    assert batch["ctx_mask"].shape == (batch_size * C,)
+    # positives are at the head of each question's block
+    assert batch["pos_ctx_indices"].tolist() == [i * C for i in range(batch_size)]
+    # positives are never masked
+    assert not batch["ctx_mask"][batch["pos_ctx_indices"]].any()
+    assert batch["query_ids"].dtype == np.int32
+
+
+def test_tokenizer_fixed_shapes(tokenizer):
+    ids, mask = tokenizer(["a b c", "a"])
+    assert ids.shape == (2, 16)
+    assert mask.shape == (2, 16)
+    assert mask[1].sum() < mask[0].sum()
+    # deterministic + includes CLS/SEP
+    ids2, _ = tokenizer(["a b c", "a"])
+    assert np.array_equal(ids, ids2)
+
+
+def test_text_batcher(dpr10_tsv, tokenizer):
+    ds = CSVDataset(dpr10_tsv, cache_index=False)
+    tb = TextBatcher(tokenizer, use_title=True)
+    rows = [ds[i] for i in range(4)]
+    out = tb.passages(rows)
+    assert out["input_ids"].shape == (4, 16)
+    assert out["corpus_ids"].tolist() == ["0", "1", "2", "3"]
