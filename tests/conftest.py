@@ -7,9 +7,18 @@ cross-shard top-k merge) is exercised on a simulated mesh.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")  # stabilize torch-side numerics
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already in the environment, so the env var above is
+# too late — override the live config instead (backends init lazily, so
+# this sticks as long as no jax computation ran yet).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import json
 
