@@ -1,0 +1,116 @@
+"""Shared config -> object builders for the CLI entry points.
+
+Replaces the reference's hydra.utils.instantiate wiring (main.py:20-32)
+with an explicit registry — no ``_target_`` string rewriting
+(anti-pattern noted in SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from dpr_scale_tpu.config import Config
+from dpr_scale_tpu.data.datamodule import DenseRetrieverDataModule
+from dpr_scale_tpu.data.tokenize import HFTokenizer
+from dpr_scale_tpu.models.transformer import TransformerConfig
+from dpr_scale_tpu.optim import make_optimizer
+from dpr_scale_tpu.parallel import get_mesh
+from dpr_scale_tpu.train.schedule import linear_warmup_decay
+from dpr_scale_tpu.train.task import DenseRetrieverTask
+
+ARCH_PRESETS = {
+    "tiny": TransformerConfig.tiny,
+    "bert_base": TransformerConfig.bert_base,
+    "bert_large": TransformerConfig.bert_large,
+    "roberta_base": TransformerConfig.roberta_base,
+}
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+def build_tokenizer(cfg: Config) -> HFTokenizer:
+    t = cfg.task.transform
+    return HFTokenizer(t.model_path, max_seq_len=t.get("max_seq_len", 256))
+
+
+def build_model_config(cfg: Config) -> TransformerConfig:
+    m = cfg.task.model
+    base = ARCH_PRESETS[m.get("arch", "bert_base")]()
+    overrides = {
+        k: m[k]
+        for k in (
+            "vocab_size",
+            "hidden_size",
+            "num_layers",
+            "num_heads",
+            "intermediate_size",
+            "max_position_embeddings",
+            "hidden_dropout",
+            "attention_dropout",
+            "remat",
+        )
+        if k in m
+    }
+    if "dtype" in m:
+        overrides["dtype"] = _DTYPES[m.dtype]
+    return dataclasses.replace(base, **overrides)
+
+
+def build_optimizer(cfg: Config, total_steps: int):
+    o = cfg.task.optim
+    schedule = linear_warmup_decay(
+        o.get("lr", 1e-5), cfg.task.get("warmup_steps", 0), total_steps
+    )
+    return make_optimizer(
+        name=o.get("name", "adamw"),
+        learning_rate=schedule,
+        weight_decay=o.get("weight_decay", 0.0),
+        betas=tuple(o.get("betas", (0.9, 0.999))),
+        eps=o.get("eps", 1e-8),
+        grad_clip_norm=cfg.trainer.get("gradient_clip_val"),
+        accumulate_steps=cfg.trainer.get("accumulate_grad_batches", 1),
+    )
+
+
+def build_task(
+    cfg: Config, optimizer=None, mesh=None, n_devices: Optional[int] = None
+) -> DenseRetrieverTask:
+    t = cfg.task
+    return DenseRetrieverTask(
+        cfg=build_model_config(cfg),
+        projection_dim=t.model.get("projection_dim", 0),
+        shared_model=t.get("shared_model", True),
+        softmax_temperature=t.get("softmax_temperature", 1.0),
+        k=t.get("k", 1),
+        in_batch_negatives=t.get("in_batch_negatives", True),
+        in_batch_eval=t.get("in_batch_eval", True),
+        optimizer=optimizer,
+        mesh=mesh if mesh is not None else get_mesh(n_devices),
+    )
+
+
+def build_datamodule(cfg: Config, tokenizer: HFTokenizer) -> DenseRetrieverDataModule:
+    d = cfg.datamodule
+    return DenseRetrieverDataModule(
+        tokenizer=tokenizer,
+        train_path=d.get("train_path"),
+        val_path=d.get("val_path"),
+        test_path=d.get("test_path"),
+        corpus_path=d.get("corpus_path"),
+        batch_size=d.get("batch_size", 2),
+        val_batch_size=d.get("val_batch_size", 0),
+        test_batch_size=d.get("test_batch_size", 0),
+        num_positive=d.get("num_positive", 1),
+        num_negative=d.get("num_negative", 7),
+        neg_ctx_sample=d.get("neg_ctx_sample", True),
+        pos_ctx_sample=d.get("pos_ctx_sample", False),
+        num_val_negative=d.get("num_val_negative", 7),
+        num_test_negative=d.get("num_test_negative"),
+        use_title=d.get("use_title", False),
+        sep_token=d.get("sep_token"),
+        rel_sample=d.get("rel_sample", False),
+        drop_last=d.get("drop_last", True),
+        seed=d.get("seed", 0),
+    )

@@ -1,0 +1,97 @@
+"""Train/test driver (reference dpr_scale/main.py).
+
+Usage:
+    python -m dpr_scale_tpu.cli.train --config conf/nq.yaml \
+        trainer.max_steps=100 datamodule.batch_size=32
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from dpr_scale_tpu.config import load_config
+from dpr_scale_tpu.cli.common import (
+    build_datamodule,
+    build_optimizer,
+    build_task,
+    build_tokenizer,
+)
+from dpr_scale_tpu.train.checkpoint import CheckpointManager, load_params
+from dpr_scale_tpu.train.loop import Trainer
+from dpr_scale_tpu.utils.logging import MetricLogger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--test-only", action="store_true")
+    parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.overrides)
+
+    tokenizer = build_tokenizer(cfg)
+    dm = build_datamodule(cfg, tokenizer)
+
+    tr = cfg.trainer
+    max_epochs = tr.get("max_epochs", 1)
+    max_steps = tr.get("max_steps")
+    if max_steps:
+        total_steps = max_steps
+    else:
+        total_steps = dm.steps_per_epoch() * max_epochs
+    print(
+        f"Total {total_steps} training steps, {cfg.task.get('warmup_steps', 0)} warmup; "
+        f"{jax.device_count()} devices"
+    )
+
+    optimizer = build_optimizer(cfg, total_steps)
+    task = build_task(cfg, optimizer=optimizer, n_devices=tr.get("num_devices"))
+
+    ckpt_cfg = cfg.get("checkpoint_callback", {})
+    checkpoint = None
+    if ckpt_cfg.get("dirpath"):
+        checkpoint = CheckpointManager(
+            ckpt_cfg["dirpath"],
+            monitor=ckpt_cfg.get("monitor", "mrr"),
+            mode=ckpt_cfg.get("mode", "max"),
+            save_top_k=ckpt_cfg.get("save_top_k", 3),
+            save_last=ckpt_cfg.get("save_last", True),
+        )
+
+    logger = MetricLogger(
+        jsonl_path=tr.get("metrics_jsonl"), tensorboard_dir=tr.get("tensorboard_dir")
+    )
+    trainer = Trainer(
+        task,
+        dm,
+        checkpoint=checkpoint,
+        max_epochs=max_epochs,
+        max_steps=max_steps,
+        log_every=tr.get("log_every", 10),
+        eval_every_steps=tr.get("eval_every_steps"),
+        logger=logger,
+    )
+
+    # init from an example batch (shapes are static per config)
+    example = next(iter(dm.train_batches(0) if not args.test_only else dm.test_batches()))
+    state = task.init_state(jax.random.PRNGKey(cfg.get("seed", 0)), example)
+
+    pretrained = cfg.task.get("pretrained_checkpoint_path")
+    if pretrained:
+        state = task.load_params(state, load_params(pretrained, state.params))
+        print(f"Loaded params from {pretrained}")
+
+    if args.test_only:
+        metrics = trainer.test(state, restore_best=False)
+        print("test metrics:", metrics)
+        return metrics
+
+    state = trainer.fit(state)
+    metrics = trainer.test(state)
+    print("test metrics (best ckpt):", metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

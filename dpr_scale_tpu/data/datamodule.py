@@ -1,0 +1,230 @@
+"""DataModules: dataset + example builder + batcher -> batch iterators.
+
+Functional parity with the reference Lightning datamodules
+(dpr_scale/datamodule/dpr.py:162-528):
+
+  * ``DenseRetrieverDataModule``      — JSONL train/val/test with per-stage
+    negative counts (DenseRetrieverJsonlDataModule, :269-330); also covers
+    the multi-train-file + docidx-corpus mode
+    (DenseRetrieverMultiJsonlDataModule, :333-412) via ``corpus_path`` /
+    list-valued ``train_path``;
+  * ``PassagesDataModule``            — corpus TSV -> context batches for
+    embedding generation (:415-479), with contiguous sharding;
+  * ``QueriesDataModule``             — query CSV/TSV -> query batches (:482-528).
+
+Sharding model: one host feeds the whole global batch (SPMD); the
+reference's per-rank distributed samplers (utils/utils.py:31-91) map to
+``shard=(i, n)`` contiguous slicing for multi-host or sharded encoding.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from dpr_scale_tpu.data.batching import DPRBatcher, TextBatcher
+from dpr_scale_tpu.data.datasets import (
+    CSVDataset,
+    MemoryMappedDataset,
+    MultiSourceDataset,
+    QueryCSVDataset,
+    QueryTSVDataset,
+)
+from dpr_scale_tpu.data.example import DPRExampleBuilder
+from dpr_scale_tpu.data.tokenize import HFTokenizer
+from dpr_scale_tpu.utils.prefetch import prefetch
+
+
+def contiguous_shard(n: int, shard: int, num_shards: int) -> range:
+    """Contiguous [start, end) rows for one shard — corpus order preserved
+    so embedding shards concatenate back in corpus order (parity:
+    ContiguousDistributedSamplerForTest, utils/utils.py:83-91)."""
+    per = math.ceil(n / num_shards)
+    start = shard * per
+    return range(start, min(start + per, n))
+
+
+class DenseRetrieverDataModule:
+    def __init__(
+        self,
+        tokenizer: HFTokenizer,
+        train_path: Union[str, Sequence[str], None] = None,
+        val_path: Optional[str] = None,
+        test_path: Optional[str] = None,
+        corpus_path: Optional[str] = None,
+        batch_size: int = 2,
+        val_batch_size: int = 0,  # 0 -> batch_size
+        test_batch_size: int = 0,
+        num_positive: int = 1,
+        num_negative: int = 7,
+        neg_ctx_sample: bool = True,
+        pos_ctx_sample: bool = False,
+        num_val_negative: int = 7,
+        num_test_negative: Optional[int] = None,
+        use_title: bool = False,
+        sep_token: Optional[str] = None,
+        rel_sample: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch_batches: int = 2,
+    ):
+        self.tokenizer = tokenizer
+        corpus = MemoryMappedDataset(corpus_path, header=True) if corpus_path else None
+        self.builder = DPRExampleBuilder(
+            num_positive=num_positive,
+            num_negative=num_negative,
+            neg_ctx_sample=neg_ctx_sample,
+            pos_ctx_sample=pos_ctx_sample,
+            num_val_negative=num_val_negative,
+            num_test_negative=num_test_negative,
+            use_title=use_title,
+            sep_token=sep_token if sep_token is not None else tokenizer.sep_token,
+            rel_sample=rel_sample,
+            corpus=corpus,
+            seed=seed,
+        )
+        self.batcher = DPRBatcher(tokenizer)
+        self.batch_size = batch_size
+        self.val_batch_size = val_batch_size or batch_size
+        self.test_batch_size = test_batch_size or self.val_batch_size
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+
+        def open_train(path):
+            if path is None:
+                return None
+            if isinstance(path, (list, tuple)):
+                return MultiSourceDataset(
+                    [MemoryMappedDataset(p) for p in path], seed=seed
+                )
+            return MemoryMappedDataset(path)
+
+        self.train_dataset = open_train(train_path)
+        self.val_dataset = MemoryMappedDataset(val_path) if val_path else None
+        self.test_dataset = MemoryMappedDataset(test_path) if test_path else None
+
+    # ------------------------------------------------------------------ #
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.train_dataset)
+        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+
+    def _iter(self, dataset, order, batch_size, stage) -> Iterator[Dict[str, np.ndarray]]:
+        def gen():
+            for lo in range(0, len(order), batch_size):
+                idx = order[lo : lo + batch_size]
+                if stage == "train" and self.drop_last and len(idx) < batch_size:
+                    return
+                rows = [dataset[int(i)] for i in idx]
+                yield self.batcher(self.builder.build_batch(rows, stage))
+
+        return prefetch(gen(), self.prefetch_batches)
+
+    def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + epoch)
+        order = rng.permutation(len(self.train_dataset))
+        return self._iter(self.train_dataset, order, self.batch_size, "train")
+
+    def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.val_dataset is None:
+            return iter(())
+        order = np.arange(len(self.val_dataset))
+        return self._iter(self.val_dataset, order, self.val_batch_size, "eval")
+
+    def test_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.test_dataset is None:
+            return iter(())
+        order = np.arange(len(self.test_dataset))
+        return self._iter(self.test_dataset, order, self.test_batch_size, "test")
+
+
+class PassagesDataModule:
+    """Corpus TSV -> fixed-size context batches with corpus ids.
+
+    The final batch is padded up to ``batch_size`` (with ``pad_count``
+    reported) so the encode step never recompiles.
+    """
+
+    def __init__(
+        self,
+        tokenizer: HFTokenizer,
+        passages_path: str,
+        batch_size: int = 128,
+        use_title: bool = True,
+        sep_token: Optional[str] = None,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = CSVDataset(passages_path)
+        self.batcher = TextBatcher(tokenizer, use_title=use_title, sep_token=sep_token)
+        self.batch_size = batch_size
+        self.prefetch_batches = prefetch_batches
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def batches(
+        self, shard: int = 0, num_shards: int = 1
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        rows_range = contiguous_shard(len(self.dataset), shard, num_shards)
+
+        def gen():
+            buf: List[dict] = []
+            for i in rows_range:
+                buf.append(self.dataset[i])
+                if len(buf) == self.batch_size:
+                    out = self.batcher.passages(buf)
+                    out["pad_count"] = np.int32(0)
+                    yield out
+                    buf = []
+            if buf:
+                pad = self.batch_size - len(buf)
+                out = self.batcher.passages(buf + [buf[-1]] * pad)
+                out["pad_count"] = np.int32(pad)
+                yield out
+
+        return prefetch(gen(), self.prefetch_batches)
+
+
+class QueriesDataModule:
+    """Query file -> fixed-size query batches (CSV answers or TREC TSV)."""
+
+    def __init__(
+        self,
+        tokenizer: HFTokenizer,
+        queries_path: str,
+        batch_size: int = 128,
+        trec_format: bool = False,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = (
+            QueryTSVDataset(queries_path) if trec_format else QueryCSVDataset(queries_path)
+        )
+        self.batcher = TextBatcher(tokenizer)
+        self.batch_size = batch_size
+        self.prefetch_batches = prefetch_batches
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def rows(self) -> List[dict]:
+        return [self.dataset[i] for i in range(len(self.dataset))]
+
+    def batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        def gen():
+            buf: List[dict] = []
+            for i in range(len(self.dataset)):
+                buf.append(self.dataset[i])
+                if len(buf) == self.batch_size:
+                    out = self.batcher.queries(buf)
+                    out["pad_count"] = np.int32(0)
+                    yield out
+                    buf = []
+            if buf:
+                pad = self.batch_size - len(buf)
+                out = self.batcher.queries(buf + [buf[-1]] * pad)
+                out["pad_count"] = np.int32(pad)
+                yield out
+
+        return prefetch(gen(), self.prefetch_batches)

@@ -1,0 +1,81 @@
+"""Orbax checkpointing: top-k-on-metric + always-keep-last.
+
+Parity with the reference's ModelCheckpoint callback
+(conf/checkpoint_callback/default.yaml: monitor valid_mrr max,
+save_top_k 3, save_last true) and the warm-start/load paths
+(dpr_task.py:73-79, dpr_eval_task.py:20-25).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        monitor: str = "mrr",
+        mode: str = "max",
+        save_top_k: int = 3,
+        save_last: bool = True,
+    ):
+        self.directory = os.path.abspath(directory)
+        self.monitor = monitor
+        self.save_last = save_last
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=save_top_k,
+            best_fn=(lambda metrics: metrics.get(monitor, float("-inf")))
+            if save_top_k > 0
+            else None,
+            best_mode=mode,
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._last_dir = os.path.join(self.directory, "last")
+
+    def save(self, step: int, state, metrics: Optional[Dict[str, float]] = None):
+        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics=metrics,
+        )
+        self._mgr.wait_until_finished()
+        if self.save_last:
+            ckptr = ocp.StandardCheckpointer()
+            path = os.path.join(self._last_dir, "state")
+            ckptr.save(path, state, force=True)
+            ckptr.wait_until_finished()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def restore(self, state_like, step: Optional[int] = None):
+        """Restore best (default) or a specific step, shaped like state_like."""
+        step = step if step is not None else self._mgr.best_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+
+    def restore_last(self, state_like):
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.join(self._last_dir, "state"), state_like)
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params(path: str, params) -> None:
+    """One-shot params-only save (for encoder export / eval handoff)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, params_like=None):
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), params_like)

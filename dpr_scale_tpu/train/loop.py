@@ -1,0 +1,92 @@
+"""Training loop driver (the reference's ``Trainer.fit`` + ``test`` flow,
+main.py:20-50, without Lightning): epochs of jitted train steps, validation
+each epoch, checkpoint-best on the monitored metric, final test of the
+best checkpoint."""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+
+from dpr_scale_tpu.train.checkpoint import CheckpointManager
+from dpr_scale_tpu.train.task import DenseRetrieverTask, TrainState
+from dpr_scale_tpu.utils.logging import MetricLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        task: DenseRetrieverTask,
+        datamodule,
+        checkpoint: Optional[CheckpointManager] = None,
+        max_epochs: int = 1,
+        max_steps: Optional[int] = None,
+        log_every: int = 10,
+        eval_every_steps: Optional[int] = None,
+        logger: Optional[MetricLogger] = None,
+    ):
+        self.task = task
+        self.dm = datamodule
+        self.checkpoint = checkpoint
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.log_every = log_every
+        self.eval_every_steps = eval_every_steps
+        self.log = logger or MetricLogger()
+
+    def total_steps(self) -> int:
+        if self.max_steps:
+            return self.max_steps
+        return self.dm.steps_per_epoch() * self.max_epochs
+
+    def fit(self, state: TrainState) -> TrainState:
+        train_step = self.task.make_train_step()
+        global_step = int(state.step)
+        t0 = time.time()
+        examples = 0
+        for epoch in range(self.max_epochs):
+            for batch in self.dm.train_batches(epoch):
+                examples += len(batch["pos_ctx_indices"])
+                state, metrics = train_step(state, self.task.shard(batch))
+                global_step += 1
+                if global_step % self.log_every == 0:
+                    metrics = jax.device_get(metrics)
+                    dt = time.time() - t0
+                    self.log.scalars(
+                        global_step,
+                        {
+                            "train_loss": float(metrics["train_loss"]),
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "queries_per_s": examples / max(dt, 1e-9),
+                        },
+                    )
+                    t0, examples = time.time(), 0
+                if self.eval_every_steps and global_step % self.eval_every_steps == 0:
+                    self._validate(state, global_step)
+                if self.max_steps and global_step >= self.max_steps:
+                    self._validate(state, global_step)
+                    return state
+            self._validate(state, global_step)
+        return state
+
+    def _validate(self, state: TrainState, step: int) -> Dict[str, float]:
+        metrics = self.task.run_eval(state, self.dm.val_batches())
+        if metrics:
+            self.log.scalars(step, {f"valid_{k}": v for k, v in metrics.items()})
+        if self.checkpoint is not None:
+            self.checkpoint.save(step, state, metrics or {})
+        return metrics
+
+    def test(self, state: TrainState, restore_best: bool = True) -> Dict[str, float]:
+        """Evaluate (the best checkpoint of) the model on the test split
+        (reference main.py:44-50 re-tests ckpt_path='best')."""
+        if restore_best and self.checkpoint is not None:
+            try:
+                state = self.checkpoint.restore(state)
+            except FileNotFoundError:
+                pass
+        metrics = self.task.run_eval(state, self.dm.test_batches())
+        if metrics:
+            self.log.scalars(int(state.step), {f"test_{k}": v for k, v in metrics.items()})
+        return metrics

@@ -1,0 +1,198 @@
+"""DPR bi-encoder training task: jitted SPMD train/eval steps.
+
+Functional replacement for the reference ``DenseRetrieverTask``
+(dpr_scale/task/dpr_task.py). One jitted program per step:
+
+  encode queries+contexts -> global similarity -> masked temperature CE.
+
+Batches arrive with their leading axes sharded over the mesh ``data`` axis
+(see :mod:`dpr_scale_tpu.parallel.mesh`); params and optimizer state are
+replicated. XLA GSPMD materializes the context all_gather over ICI inside
+the step, and its backward reduce-scatter reproduces the gradient
+averaging the reference gets from DDP (dpr_task.py:163-196) — verified
+numerically in tests/test_train.py::test_sharded_equals_single_device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dpr_scale_tpu.models.encoder import BiEncoder
+from dpr_scale_tpu.models.transformer import TransformerConfig
+from dpr_scale_tpu.parallel.mesh import batch_sharding, get_mesh, replicated, shard_batch
+from dpr_scale_tpu.train.loss import contrastive_loss, rank_metrics, similarity_scores
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    dropout_rng: jnp.ndarray
+
+
+@dataclasses.dataclass
+class DenseRetrieverTask:
+    """Owns the BiEncoder, the optimizer, and the compiled step functions."""
+
+    cfg: TransformerConfig
+    projection_dim: int = 0
+    shared_model: bool = True  # reference shared_model flag (dpr_task.py:66-71)
+    softmax_temperature: float = 1.0
+    k: int = 1  # accuracy@k
+    in_batch_negatives: bool = True
+    in_batch_eval: bool = True
+    optimizer: Optional[optax.GradientTransformation] = None
+    mesh: Optional[Any] = None
+
+    def __post_init__(self):
+        self.model = BiEncoder(
+            self.cfg, projection_dim=self.projection_dim, shared=self.shared_model
+        )
+        if self.optimizer is None:
+            self.optimizer = optax.adamw(1e-5)
+        if self.mesh is None:
+            self.mesh = get_mesh()
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray]) -> TrainState:
+        params_rng, dropout_rng = jax.random.split(rng)
+        variables = self.model.init(
+            {"params": params_rng},
+            jnp.asarray(example_batch["query_ids"]),
+            jnp.asarray(example_batch["query_mask"]),
+            jnp.asarray(example_batch["contexts_ids"]),
+            jnp.asarray(example_batch["contexts_mask"]),
+            deterministic=True,
+        )
+        params = variables["params"]
+        state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros([], jnp.int32),
+            dropout_rng=dropout_rng,
+        )
+        # replicate across the mesh
+        return jax.device_put(state, replicated(self.mesh))
+
+    def load_params(self, state: TrainState, params) -> TrainState:
+        """Warm-start params (reference pretrained_checkpoint_path, :73-79)."""
+        params = jax.device_put(params, replicated(self.mesh))
+        return state.replace(params=params)
+
+    # ------------------------------------------------------------------ #
+
+    def _loss_fn(self, params, batch, dropout_rng):
+        q_repr, c_repr = self.model.apply(
+            {"params": params},
+            batch["query_ids"],
+            batch["query_mask"],
+            batch["contexts_ids"],
+            batch["contexts_mask"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        loss, scores = contrastive_loss(
+            q_repr,
+            c_repr,
+            batch["pos_ctx_indices"],
+            batch["ctx_mask"],
+            self.softmax_temperature,
+            self.in_batch_negatives,
+        )
+        return loss, scores
+
+    def make_train_step(self) -> Callable:
+        if self._train_step is not None:
+            return self._train_step
+
+        def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+            step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+            (loss, _scores), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(state.params, batch, step_rng)
+            updates, new_opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params, opt_state=new_opt_state, step=state.step + 1
+            )
+            metrics = {
+                "train_loss": loss,
+                "grad_norm": optax.global_norm(grads),
+            }
+            return new_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        return self._train_step
+
+    def make_eval_step(self) -> Callable:
+        if self._eval_step is not None:
+            return self._eval_step
+
+        def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+            q_repr, c_repr = self.model.apply(
+                {"params": state.params},
+                batch["query_ids"],
+                batch["query_mask"],
+                batch["contexts_ids"],
+                batch["contexts_mask"],
+                deterministic=True,
+            )
+            # eval always scores within the (global) eval batch, all ctxs
+            # visible except dummies (reference _eval_step, :216-233)
+            loss, scores = contrastive_loss(
+                q_repr,
+                c_repr,
+                batch["pos_ctx_indices"],
+                batch["ctx_mask"],
+                self.softmax_temperature,
+                in_batch_negatives=True,
+            )
+            metrics = rank_metrics(scores, batch["pos_ctx_indices"], self.k)
+            metrics["loss_sum"] = loss * scores.shape[0]
+            metrics["ctx_count"] = (
+                jnp.asarray(scores.shape[1], jnp.float32)
+                - jnp.sum(batch["ctx_mask"].astype(jnp.float32))
+            )
+            return metrics
+
+        self._eval_step = jax.jit(eval_step)
+        return self._eval_step
+
+    # ------------------------------------------------------------------ #
+
+    def shard(self, batch: Dict[str, np.ndarray]) -> Dict:
+        return shard_batch(batch, self.mesh)
+
+    def run_eval(self, state: TrainState, batches) -> Dict[str, float]:
+        """Aggregate epoch metrics (reference _eval_epoch_end, :248-310)."""
+        step = self.make_eval_step()
+        totals: Dict[str, float] = {}
+        n_batches = 0
+        for batch in batches:
+            m = jax.device_get(step(state, self.shard(batch)))
+            n_batches += 1
+            for key, val in m.items():
+                totals[key] = totals.get(key, 0.0) + float(val)
+        if not n_batches:
+            return {}
+        nq = totals["query_count"]
+        return {
+            "avg_rank": totals["rank_sum"] / nq,
+            "mrr": totals["mrr_sum"] / nq,
+            f"accuracy@{self.k}": totals["hits_at_k"] / nq,
+            "ctx_count": totals["ctx_count"] / n_batches,
+            "loss": totals["loss_sum"] / nq,
+            "query_count": nq,
+        }

@@ -1,0 +1,129 @@
+"""Config loader, datamodule iterators, checkpointing, and the end-to-end
+train CLI smoke run (reference main.py flow)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dpr_scale_tpu.config import load_config, parse_overrides
+from dpr_scale_tpu.data.datamodule import (
+    DenseRetrieverDataModule,
+    PassagesDataModule,
+    QueriesDataModule,
+    contiguous_shard,
+)
+from dpr_scale_tpu.data.tokenize import HFTokenizer
+
+CONF = os.path.join(os.path.dirname(__file__), "..", "conf")
+
+
+def test_load_config_defaults_and_overrides(tmp_path):
+    cfg = load_config(
+        os.path.join(CONF, "tiny_smoke.yaml"),
+        overrides=["task.optim.lr=0.01", "datamodule.batch_size=8", "trainer.max_epochs=3"],
+    )
+    assert cfg.task.model.arch == "tiny"  # from group default
+    assert cfg.task.optim.name == "adamw"
+    assert cfg.task.optim.lr == 0.01  # CLI override wins
+    assert cfg.datamodule.batch_size == 8
+    assert cfg.trainer.max_epochs == 3
+    assert cfg.task.warmup_steps == 2  # file body survives
+
+
+def test_parse_overrides_types():
+    out = parse_overrides(["a.b=1", "a.c=true", "d=nul_str", "e=1.5e-3", "f=[1,2]"])
+    assert out["a"]["b"] == 1 and out["a"]["c"] is True
+    assert out["d"] == "nul_str"
+    assert out["e"] == 1.5e-3
+    assert out["f"] == [1, 2]
+
+
+def test_contiguous_shard_partitions():
+    n = 103
+    seen = []
+    for s in range(8):
+        seen.extend(contiguous_shard(n, s, 8))
+    assert seen == list(range(n))  # exact, ordered, disjoint cover
+
+
+def test_datamodule_iterators(dpr10_jsonl, tiny_bert_dir):
+    tok = HFTokenizer(tiny_bert_dir, max_seq_len=16)
+    dm = DenseRetrieverDataModule(
+        tok,
+        train_path=dpr10_jsonl,
+        val_path=dpr10_jsonl,
+        batch_size=4,
+        num_negative=2,
+        num_val_negative=1,
+        drop_last=True,
+        seed=0,
+    )
+    assert dm.steps_per_epoch() == 2  # 10 // 4
+    train = list(dm.train_batches(0))
+    assert len(train) == 2
+    assert train[0]["query_ids"].shape == (4, 16)
+    assert train[0]["contexts_ids"].shape == (12, 16)  # 4 * (1+2)
+    # different epoch -> different order
+    t1 = list(dm.train_batches(1))
+    assert not np.array_equal(train[0]["query_ids"], t1[0]["query_ids"])
+    # val keeps the tail batch and uses eval negative count
+    val = list(dm.val_batches())
+    assert sum(b["query_ids"].shape[0] for b in val) == 10
+    assert val[0]["contexts_ids"].shape[0] == val[0]["query_ids"].shape[0] * 2
+
+
+def test_passages_and_queries_datamodules(dpr10_tsv, tiny_bert_dir, tmp_path):
+    tok = HFTokenizer(tiny_bert_dir, max_seq_len=16)
+    pm = PassagesDataModule(tok, dpr10_tsv, batch_size=4)
+    batches = list(pm.batches())
+    assert len(batches) == 3
+    assert all(b["input_ids"].shape == (4, 16) for b in batches)
+    assert int(batches[-1]["pad_count"]) == 2  # 10 = 4+4+2
+    ids = [i for b in batches for i in b["corpus_ids"]]
+    assert ids[:10] == [str(i) for i in range(10)]
+
+    qp = tmp_path / "q.tsv"
+    qp.write_text("what city\t['NYC']\nwho wrote\t['Me']\nhow many\t['3']\n")
+    qm = QueriesDataModule(tok, str(qp), batch_size=2)
+    qb = list(qm.batches())
+    assert len(qb) == 2 and int(qb[-1]["pad_count"]) == 1
+
+
+def test_checkpoint_manager_best_and_last(tmp_path):
+    import jax.numpy as jnp
+
+    from dpr_scale_tpu.train.checkpoint import CheckpointManager
+
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(0)}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor="mrr", save_top_k=2)
+    for step, mrr in [(1, 0.3), (2, 0.9), (3, 0.5)]:
+        state = {"w": state["w"] + 1, "step": jnp.asarray(step)}
+        mgr.save(step, state, {"mrr": mrr})
+    assert mgr.best_step() == 2
+    best = mgr.restore(state)
+    assert int(best["step"]) == 2
+    last = mgr.restore_last(state)
+    assert int(last["step"]) == 3
+    mgr.close()
+
+
+def test_train_cli_smoke(dpr10_jsonl, tiny_bert_dir, tmp_path, capsys):
+    """Full reference-main.py flow: fit 2 epochs + validate + checkpoint +
+    test best ckpt, via the CLI entry, on the tiny fixture."""
+    from dpr_scale_tpu.cli.train import main
+
+    metrics = main(
+        [
+            "--config", os.path.join(CONF, "tiny_smoke.yaml"),
+            f"task.transform.model_path={tiny_bert_dir}",
+            f"datamodule.train_path={dpr10_jsonl}",
+            f"datamodule.val_path={dpr10_jsonl}",
+            f"datamodule.test_path={dpr10_jsonl}",
+            f"checkpoint_callback.dirpath={tmp_path / 'ckpt'}",
+            "trainer.log_every=1",
+        ]
+    )
+    assert metrics and "mrr" in metrics
+    assert 0.0 < metrics["mrr"] <= 1.0
+    assert (tmp_path / "ckpt" / "last").exists()
