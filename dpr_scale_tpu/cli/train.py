@@ -90,6 +90,18 @@ def main(argv=None):
     state = trainer.fit(state)
     metrics = trainer.test(state)
     print("test metrics (best ckpt):", metrics)
+
+    # params-only export of the best checkpoint for the encode/retrieve CLIs
+    if checkpoint is not None:
+        from dpr_scale_tpu.train.checkpoint import save_params
+
+        try:
+            best = checkpoint.restore(state)
+        except FileNotFoundError:
+            best = state
+        export = ckpt_cfg.get("params_export") or f"{ckpt_cfg['dirpath']}/params_best"
+        save_params(export, best.params)
+        print(f"Exported best params to {export}")
     return metrics
 
 

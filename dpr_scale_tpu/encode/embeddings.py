@@ -1,0 +1,173 @@
+"""Corpus / query embedding generation (reference GenerateEmbeddingsTask /
+GenerateQueryEmbeddingsTask, dpr_scale/task/dpr_eval_task.py).
+
+The reference runs a Lightning test loop per rank and pickles one fp32
+torch tensor per rank as ``reps_{rank:04}.pkl`` (:40-49), queries as
+``query_reps.pkl`` (:52-84), with contiguous rank shards so files
+concatenate in corpus order.
+
+Here encoding is one jitted step over the data mesh; the host streams
+fixed-shape token batches in, pulls embeddings out asynchronously, and
+writes shards:
+
+  * interop format: ``reps_{shard:04}.pkl`` pickled numpy fp32 (readable
+    wherever the reference's files are — numpy instead of torch tensors);
+  * native format: ``reps_{shard:04}.npy`` packed fp16/fp32 + a JSON
+    manifest with corpus offsets (``manifest.json``).
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from dpr_scale_tpu.parallel.mesh import shard_batch
+
+
+def save_embedding_shard(
+    path_prefix: str,
+    embeddings: np.ndarray,
+    fmt: str = "pickle",
+) -> str:
+    """Write one embedding shard; returns the file path."""
+    if fmt == "pickle":
+        path = path_prefix + ".pkl"
+        with open(path, "wb") as f:
+            pickle.dump(np.ascontiguousarray(embeddings), f, protocol=4)
+    elif fmt == "npy":
+        path = path_prefix + ".npy"
+        np.save(path, np.ascontiguousarray(embeddings))
+    else:
+        raise ValueError(f"unknown embedding format {fmt!r}")
+    return path
+
+
+def load_embedding_shard(path: str) -> np.ndarray:
+    """Read one shard: .npy, or .pkl holding a numpy array or torch tensor."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    with open(path, "rb") as f:
+        try:
+            obj = pickle.load(f)
+        except Exception:
+            # torch-tensor pickles need torch's unpickling machinery
+            import torch
+
+            f.seek(0)
+            obj = torch.load(f, map_location="cpu", weights_only=False)
+    if hasattr(obj, "numpy"):  # torch tensor (reference writer)
+        obj = obj.float().numpy()
+    return np.asarray(obj)
+
+
+def load_embedding_shards(ctx_embeddings_dir: str) -> List[Tuple[str, np.ndarray]]:
+    """All ``reps_*`` shards in a directory, sorted by shard id."""
+    names = sorted(
+        n
+        for n in os.listdir(ctx_embeddings_dir)
+        if n.startswith("reps_") and (n.endswith(".pkl") or n.endswith(".npy"))
+    )
+    return [
+        (n, load_embedding_shard(os.path.join(ctx_embeddings_dir, n))) for n in names
+    ]
+
+
+class CorpusEncoder:
+    """Drives a jitted encoder over batched corpus/query text.
+
+    ``encode_fn(params, input_ids, attention_mask) -> (B, D)`` is built once
+    from the task's model; double-buffering comes from dispatching the next
+    device step before fetching the previous result.
+    """
+
+    def __init__(self, model, params, mesh, use_query_tower: bool = False):
+        self.mesh = mesh
+        self.params = params
+        method = "encode_query" if use_query_tower else "encode_context"
+
+        def encode(params, input_ids, attention_mask):
+            return model.apply(
+                {"params": params},
+                input_ids,
+                attention_mask,
+                deterministic=True,
+                method=getattr(model, method),
+            )
+
+        self._encode = jax.jit(encode)
+
+    def encode_batches(
+        self, batches: Iterator[Dict[str, np.ndarray]]
+    ) -> Tuple[np.ndarray, List[str]]:
+        """Returns (embeddings (N, D) fp32, corpus_ids list).
+
+        Padded tail rows (``pad_count``) are dropped on the host.
+        """
+        futures = []  # (device_array, pad_count, ids)
+        out: List[np.ndarray] = []
+        ids: List[str] = []
+
+        def drain(f):
+            emb, pad, bids = f
+            emb = np.asarray(emb, dtype=np.float32)
+            n = emb.shape[0] - int(pad)
+            out.append(emb[:n])
+            if bids is not None:
+                ids.extend(list(bids)[:n])
+
+        for batch in batches:
+            sb = shard_batch(
+                {
+                    "input_ids": batch["input_ids"],
+                    "attention_mask": batch["attention_mask"],
+                },
+                self.mesh,
+            )
+            emb = self._encode(self.params, sb["input_ids"], sb["attention_mask"])
+            futures.append((emb, batch.get("pad_count", 0), batch.get("corpus_ids")))
+            if len(futures) > 2:  # keep device queue short, host lags behind
+                drain(futures.pop(0))
+        for f in futures:
+            drain(f)
+        if not out:
+            return np.zeros((0, 0), np.float32), ids
+        return np.concatenate(out, axis=0), ids
+
+    def encode_to_dir(
+        self,
+        batches,
+        output_dir: str,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        fmt: str = "pickle",
+        corpus_offset: int = 0,
+    ) -> str:
+        """Encode one contiguous shard and write ``reps_{shard:04}``.
+
+        Writes/updates ``manifest.json`` mapping shards to corpus row
+        ranges so retrieval can map shard-local indices back to corpus ids.
+        """
+        os.makedirs(output_dir, exist_ok=True)
+        emb, ids = self.encode_batches(batches)
+        path = save_embedding_shard(
+            os.path.join(output_dir, f"reps_{shard_id:04}"), emb, fmt
+        )
+        manifest_path = os.path.join(output_dir, "manifest.json")
+        manifest = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        manifest[str(shard_id)] = {
+            "file": os.path.basename(path),
+            "rows": emb.shape[0],
+            "dim": int(emb.shape[1]) if emb.ndim == 2 else 0,
+            "corpus_offset": corpus_offset,
+            "num_shards": num_shards,
+        }
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1)
+        return path

@@ -1,0 +1,102 @@
+"""End-to-end retrieval: query embeddings + embedding shards -> top-k results.
+
+The pipeline of reference run_retrieval.py:60-114 / run_retrieval_fb.py /
+run_retrieval_pytorch.py: build the exact-MIPS index over all ``reps_*``
+shards, search queries, map global row indices to passages, and emit
+DPR JSON and/or TREC runs.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dpr_scale_tpu.data.datasets import CSVDataset
+from dpr_scale_tpu.encode.embeddings import load_embedding_shards
+from dpr_scale_tpu.index import MipsIndex
+from dpr_scale_tpu.retrieve.writers import write_dpr_json, write_trec_run
+
+
+def build_index(
+    ctx_embeddings_dir: str, mesh, dtype=None, max_block_rows: int = 2_000_000
+) -> MipsIndex:
+    """Load every reps_* shard into one MipsIndex (global row order =
+    shard order = corpus order, as the reference relies on,
+    run_retrieval.py:48-57)."""
+    import jax.numpy as jnp
+
+    index = MipsIndex(mesh, dtype=dtype or jnp.bfloat16)
+    shards = load_embedding_shards(ctx_embeddings_dir)
+    if not shards:
+        raise FileNotFoundError(f"no reps_* shards in {ctx_embeddings_dir}")
+    for _name, emb in shards:
+        # split oversized shards so device blocks stay HBM-friendly
+        for lo in range(0, emb.shape[0], max_block_rows):
+            index.add(emb[lo : lo + max_block_rows])
+    return index
+
+
+def retrieve(
+    query_embeddings: np.ndarray,  # (B, D)
+    questions: Sequence[dict],  # rows with "question"/"answers" or "id"
+    passages_path: str,
+    ctx_embeddings_dir: str,
+    mesh,
+    k: int = 100,
+    output_json_path: Optional[str] = None,
+    output_trec_path: Optional[str] = None,
+    query_batch: int = 512,
+    ignore_identical_ids: bool = False,
+    index: Optional[MipsIndex] = None,
+) -> List[List[Dict]]:
+    """Returns per-question context lists; optionally writes output files."""
+    if index is None:
+        index = build_index(ctx_embeddings_dir, mesh)
+    passages = CSVDataset(passages_path)
+
+    all_scores, all_indices = [], []
+    nq = query_embeddings.shape[0]
+    for lo in range(0, nq, query_batch):
+        q = query_embeddings[lo : lo + query_batch]
+        if q.shape[0] < query_batch:  # keep shapes static for jit reuse
+            pad = query_batch - q.shape[0]
+            q = np.pad(q, ((0, pad), (0, 0)))
+            s, i = index.search(q, k)
+            s, i = s[:-pad], i[:-pad]
+        else:
+            s, i = index.search(q, k)
+        all_scores.append(s)
+        all_indices.append(i)
+    scores = np.concatenate(all_scores, 0)
+    indices = np.concatenate(all_indices, 0)
+
+    results: List[List[Dict]] = []
+    for qi in range(nq):
+        ctxs = []
+        for score, row in zip(scores[qi], indices[qi]):
+            if row < 0:
+                continue
+            p = passages[int(row)]
+            ctxs.append(
+                {
+                    "id": p.get("id", str(int(row))),
+                    "title": p.get("title", ""),
+                    "text": p.get("text", ""),
+                    "score": float(score),
+                }
+            )
+        results.append(ctxs)
+
+    if output_json_path:
+        write_dpr_json(output_json_path, questions, results)
+    if output_trec_path:
+        qids = [str(q.get("id", i)) for i, q in enumerate(questions)]
+        write_trec_run(
+            output_trec_path,
+            qids,
+            [[c["id"] for c in ctxs] for ctxs in results],
+            [[c["score"] for c in ctxs] for ctxs in results],
+            ignore_identical_ids=ignore_identical_ids,
+        )
+    return results

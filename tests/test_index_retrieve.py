@@ -1,0 +1,196 @@
+"""Exact-MIPS index, embedding shard IO, retrieval pipeline, eval harnesses."""
+import json
+import os
+import pickle
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpr_scale_tpu.encode.embeddings import (
+    load_embedding_shard,
+    load_embedding_shards,
+    save_embedding_shard,
+)
+from dpr_scale_tpu.eval.msmarco import (
+    compute_metrics_from_files,
+    load_candidates,
+    load_qrels,
+    mrr_at_10,
+    trec_metrics,
+)
+from dpr_scale_tpu.eval.qa_eval import SimpleTokenizer, evaluate_retrieval, has_answers
+from dpr_scale_tpu.index import MipsIndex, merge_topk_batched
+from dpr_scale_tpu.parallel import get_mesh
+from dpr_scale_tpu.retrieve.retrieval import retrieve
+from dpr_scale_tpu.retrieve.writers import write_dpr_json, write_trec_run
+
+
+def _np_topk(corpus, queries, k):
+    scores = queries @ corpus.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def test_mips_exact_matches_numpy():
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(1000, 32)).astype(np.float32)
+    queries = rng.normal(size=(17, 32)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32)
+    index.add(corpus)
+    s, i = index.search(queries, k=10)
+    es, ei = _np_topk(corpus, queries, 10)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=1e-5)
+
+
+def test_mips_multi_block_global_indices():
+    rng = np.random.default_rng(1)
+    blocks = [rng.normal(size=(n, 16)).astype(np.float32) for n in (300, 150, 500)]
+    corpus = np.concatenate(blocks, 0)
+    queries = rng.normal(size=(5, 16)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32)
+    for b in blocks:
+        index.add(b)
+    assert index.num_rows == 950
+    s, i = index.search(queries, k=25)
+    es, ei = _np_topk(corpus, queries, 25)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=1e-5)
+
+
+def test_mips_k_larger_than_corpus():
+    rng = np.random.default_rng(2)
+    corpus = rng.normal(size=(10, 8)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32)
+    index.add(corpus)
+    s, i = index.search(rng.normal(size=(3, 8)).astype(np.float32), k=100)
+    assert s.shape[1] <= 10  # clamped to corpus size
+    assert (i >= 0).all() and (i < 10).all()
+    assert len(set(i[0].tolist())) == s.shape[1]  # no duplicates
+
+
+def test_merge_topk_batched():
+    s = np.asarray([[[9, 7], [5, 4]], [[8, 6], [9, 1]]], np.float32)  # (2 shards, 2 q, 2)
+    i = np.asarray([[[0, 1], [2, 3]], [[10, 11], [12, 13]]], np.int64)
+    ms, mi = merge_topk_batched(s, i, 2)
+    assert ms[0].tolist() == [9, 8] and mi[0].tolist() == [0, 10]
+    assert ms[1].tolist() == [9, 5] and mi[1].tolist() == [12, 2]
+
+
+def test_shard_roundtrip_and_torch_interop(tmp_path):
+    emb = np.random.default_rng(0).normal(size=(7, 4)).astype(np.float32)
+    p1 = save_embedding_shard(str(tmp_path / "reps_0000"), emb, "pickle")
+    p2 = save_embedding_shard(str(tmp_path / "reps_0001"), emb + 1, "npy")
+    np.testing.assert_array_equal(load_embedding_shard(p1), emb)
+    np.testing.assert_array_equal(load_embedding_shard(p2), emb + 1)
+    # reference-style torch tensor pickle loads too (dpr_eval_task.py:44-49)
+    import torch
+
+    with open(tmp_path / "reps_0002.pkl", "wb") as f:
+        torch.save(torch.tensor(emb * 2), f)
+    np.testing.assert_allclose(
+        load_embedding_shard(str(tmp_path / "reps_0002.pkl")), emb * 2
+    )
+    shards = load_embedding_shards(str(tmp_path))
+    assert [n for n, _ in shards] == ["reps_0000.pkl", "reps_0001.npy", "reps_0002.pkl"]
+
+
+def test_retrieval_end_to_end(tmp_path):
+    """Embedding shards + query vectors -> top-k -> DPR JSON -> QA eval."""
+    rng = np.random.default_rng(0)
+    n, d = 50, 16
+    corpus_emb = rng.normal(size=(n, d)).astype(np.float32)
+    # passages TSV
+    passages = tmp_path / "passages.tsv"
+    with open(passages, "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for i in range(n):
+            f.write(f"{i}\tunique answer {i} text\ttitle {i}\n")
+    # two embedding shards
+    emb_dir = tmp_path / "emb"
+    emb_dir.mkdir()
+    save_embedding_shard(str(emb_dir / "reps_0000"), corpus_emb[:30], "pickle")
+    save_embedding_shard(str(emb_dir / "reps_0001"), corpus_emb[30:], "npy")
+
+    # queries = exact copies of corpus rows 5, 35, 49
+    target = [5, 35, 49]
+    q_emb = corpus_emb[target]
+    questions = [
+        {"question": f"find {t}", "answers": [f"unique answer {t}"], "id": t}
+        for t in target
+    ]
+    out_json = tmp_path / "retrieval.json"
+    out_trec = tmp_path / "run.trec"
+    results = retrieve(
+        q_emb,
+        questions,
+        str(passages),
+        str(emb_dir),
+        mesh=get_mesh(8),
+        k=10,
+        output_json_path=str(out_json),
+        output_trec_path=str(out_trec),
+        query_batch=2,  # force the padded-tail query path
+    )
+    assert [r[0]["id"] for r in results] == ["5", "35", "49"]
+
+    # DPR JSON format contract
+    data = json.loads(out_json.read_text())
+    assert data[0]["question"] == "find 5"
+    assert set(data[0]["ctxs"][0]) == {"id", "title", "text", "score"}
+    # TREC run contract
+    lines = out_trec.read_text().splitlines()
+    assert lines[0].split()[:4] == ["5", "Q0", "5", "1"]
+
+    # QA eval harness: top-1 accuracy must be 1.0
+    acc = evaluate_retrieval(str(out_json), topk=[1, 5])
+    assert np.mean(acc[1]) == 1.0
+
+
+def test_has_answers_semantics():
+    tok = SimpleTokenizer()
+    assert has_answers("The Eiffel Tower is in Paris.", ["paris"], tok)
+    assert has_answers("The Eiffel Tower is in Paris.", ["eiffel tower"], tok)
+    assert not has_answers("The Eiffel Tower is in Paris.", ["London"], tok)
+    # accent normalization via NFD
+    assert has_answers("Beyoncé sang", ["Beyoncé"], tok)
+    # token containment, not substring: "is" inside "Paris" must not match
+    assert not has_answers("Paris", ["is"], tok)
+    # regex mode
+    assert has_answers("born in 1923", [r"19\d\d"], tok, regex=True)
+
+
+def test_msmarco_eval_metrics(tmp_path):
+    qrels = tmp_path / "qrels.tsv"
+    qrels.write_text("1\t0\t101\t1\n2\t0\t202\t1\n3\t0\t303\t1\n")
+    # candidate TSV qid pid rank
+    cand = tmp_path / "cand.tsv"
+    cand.write_text(
+        "1\t101\t1\n1\t999\t2\n"  # hit at rank 1
+        "2\t998\t1\n2\t202\t2\n"  # hit at rank 2
+        "3\t997\t1\n3\t996\t2\n"  # miss
+    )
+    m = compute_metrics_from_files(str(qrels), str(cand))
+    np.testing.assert_allclose(m["MRR @10"], (1.0 + 0.5 + 0.0) / 3)
+    assert m["QueriesRanked"] == 3
+    np.testing.assert_allclose(m["recall_20"], 2 / 3)
+    np.testing.assert_allclose(m["recip_rank"], (1.0 + 0.5 + 0.0) / 3)
+
+    # TREC-run candidates load identically
+    run = tmp_path / "cand.trec"
+    run.write_text(
+        "1 Q0 101 1 9.0 x\n1 Q0 999 2 8.0 x\n"
+        "2 Q0 998 1 9.0 x\n2 Q0 202 2 8.0 x\n"
+        "3 Q0 997 1 9.0 x\n3 Q0 996 2 8.0 x\n"
+    )
+    assert load_candidates(str(run)) == load_candidates(str(cand))
+
+
+def test_trec_metrics_ndcg():
+    qrels = {"q": {"a": 3, "b": 1}}
+    cands = {"q": ["b", "a", "c"]}
+    m = trec_metrics(qrels, cands, ndcg_cuts=(3,))
+    dcg = 1 / np.log2(2) + 3 / np.log2(3)
+    idcg = 3 / np.log2(2) + 1 / np.log2(3)
+    np.testing.assert_allclose(m["ndcg_cut_3"], dcg / idcg)
