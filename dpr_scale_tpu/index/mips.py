@@ -6,15 +6,21 @@ design:
 
   * corpus rows live HBM-resident, sharded over the mesh ``data`` axis
     (row-sharded ``(N, D)``, bf16 by default, fp32 accumulation on the MXU);
-  * one jitted search program: per-device scores ``Q @ C_localᵀ`` +
-    per-device ``lax.top_k`` + cross-device gather + re-top-k — the
-    all-device traffic is ``B x devices x k`` entries, never the full
-    ``B x N`` score matrix;
-  * corpora bigger than total HBM stream through as multiple host shards
-    searched sequentially and k-way merged on the host (same shard-merge
-    algorithm the reference implements in torch at
-    run_retrieval_pytorch.py:210-230,272-277; merge itself is the native
-    C++ heap in dpr_scale_tpu.utils.native).
+  * per device, the scan streams 8192-row chunks through one jitted
+    program — chunk scores never land in HBM as a full ``B x N`` matrix;
+  * per-chunk winners come from ``lax.approx_max_k`` (the TPU's
+    hardware-optimized partial reduction; measured 167 TFLOP/s vs
+    4.8 TFLOP/s for sort-based ``lax.top_k`` on a v5e chip);
+  * ``method="auto"`` (default) makes the result EXACT: a second
+    counting pass verifies that every score above the found k-th value
+    was captured, and the rare miss falls back to sort-based exact
+    search (the two passes stay MXU-bound, ~2x matmul cost worst case);
+  * cross-device traffic is only ``B x devices x k`` entries; corpora
+    bigger than total HBM stream through as multiple host blocks merged
+    on the host (same shard-merge algorithm the reference implements in
+    torch at run_retrieval_pytorch.py:210-230,272-277; the merge is the
+    native C++ heap in dpr_scale_tpu.utils.native for single queries and
+    vectorized numpy for batches).
 """
 from __future__ import annotations
 
@@ -27,6 +33,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 NEG_INF = jnp.float32(-1e30)
+CHUNK_ROWS = 65536  # per-device scan chunk (scores tile: B x CHUNK fp32)
+OVERSAMPLE = 2  # approx pass gathers OVERSAMPLE*k candidates per chunk so
+# the exactness verification almost always passes on the first try
 
 
 def merge_topk_batched(
@@ -48,35 +57,47 @@ def merge_topk_batched(
 
 
 class MipsIndex:
-    """Exact inner-product top-k over one or more embedding shards.
+    """Inner-product top-k over one or more embedding shards.
 
-    ``add(embeddings)`` appends a host shard (rows indexed globally in
+    ``add(embeddings)`` appends a host block (rows indexed globally in
     insertion order, matching how the reference concatenates ``reps_*``
     files). ``search(queries, k)`` returns global (scores, indices).
+
+    method:
+      * ``"auto"``  — approx pass + exactness verification (+ rare exact
+        fallback). Returned top-k is exact.
+      * ``"approx"``— single approx pass (recall ~0.999 for k=100 over
+        multi-chunk corpora); fastest.
+      * ``"exact_sort"`` — sort-based ``lax.top_k`` per chunk; slow,
+        reference semantics for tests.
     """
 
     def __init__(
         self,
         mesh: Mesh,
         dtype=jnp.bfloat16,
-        max_device_rows: Optional[int] = None,
+        method: str = "auto",
     ):
+        assert method in ("auto", "approx", "exact_sort")
         self.mesh = mesh
         self.dtype = dtype
+        self.method = method
         self.ndev = mesh.devices.size
-        # rows per resident block; blocks beyond this stream from host
-        self.max_device_rows = max_device_rows
         self._blocks: List[Tuple[jax.Array, jax.Array, int, int]] = []
-        # (embeddings (C_pad, D) sharded, valid (C_pad,1) sharded, n_valid, offset)
+        # (embeddings (C_pad, D) sharded, valid (C_pad, 1) sharded, n_valid, offset)
         self._total_rows = 0
         self._dim: Optional[int] = None
 
     # ------------------------------------------------------------------ #
 
     def _pad_rows(self, n: int) -> int:
-        # keep per-device row counts MXU-friendly (multiples of 128)
-        block = self.ndev * 128
-        return (n + block - 1) // block * block
+        """Round up so every device holds an equal, chunkable row count."""
+        base = self.ndev * 128
+        n_pad = (n + base - 1) // base * base
+        if n_pad // self.ndev > CHUNK_ROWS:
+            base = self.ndev * CHUNK_ROWS
+            n_pad = (n + base - 1) // base * base
+        return n_pad
 
     def add(self, embeddings: np.ndarray) -> None:
         n, d = embeddings.shape
@@ -94,28 +115,74 @@ class MipsIndex:
         self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
         self._total_rows += n
 
+    def add_device(self, emb_dev: jax.Array, n_valid: Optional[int] = None) -> None:
+        """Add an already device-resident, row-sharded (N_pad, D) block
+        (N_pad a multiple of devices*128; rows beyond ``n_valid`` ignored)."""
+        n_pad, d = emb_dev.shape
+        if self._dim is None:
+            self._dim = d
+        n = n_valid if n_valid is not None else n_pad
+        row_sharded = NamedSharding(self.mesh, P("data", None))
+        valid = np.zeros((n_pad, 1), dtype=np.bool_)
+        valid[:n] = True
+        valid_dev = jax.device_put(jnp.asarray(valid), row_sharded)
+        self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
+        self._total_rows += n
+
     @property
     def num_rows(self) -> int:
         return self._total_rows
 
     # ------------------------------------------------------------------ #
+    # jitted per-block programs
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _search_block(self, emb, valid, queries, k):
-        """One jitted program: sharded scores -> local top-k -> global re-top-k."""
+    def _chunk_view(self, emb_l):
+        c_local = emb_l.shape[0]
+        ch = CHUNK_ROWS if c_local % CHUNK_ROWS == 0 else c_local
+        return c_local // ch, ch
+
+    def _topk_block_impl(self, emb, valid, queries, k, use_approx):
+        """Sharded streaming top-k: per-device chunk scan -> local top-k ->
+        cross-device gather -> global re-top-k. Traceable (used both by
+        the jitted search entry and by the on-device benchmark loop)."""
+
+        # oversample the approx pass; exact mode carries k precisely
+        k_carry = min(OVERSAMPLE * k, emb.shape[0] // self.ndev) if use_approx else k
 
         def local_topk(emb_l, valid_l, q):
-            # emb_l: (C_local, D) this device's rows; q replicated (B, D)
-            scores = jnp.dot(
-                q.astype(self.dtype),
-                emb_l.T,
-                preferred_element_type=jnp.float32,
-            )  # (B, C_local)
-            scores = jnp.where(valid_l[:, 0][None, :], scores, NEG_INF)
-            s, i = jax.lax.top_k(scores, k)  # (B, k) local
+            nch, ch = self._chunk_view(emb_l)
+            qd = q.astype(self.dtype)
+            B = q.shape[0]
+            kc = min(k_carry, ch)
+
+            def body(carry, xs):
+                cs, ci, off = carry
+                c, v = xs
+                s = jnp.dot(qd, c.T, preferred_element_type=jnp.float32)
+                s = jnp.where(v[:, 0][None, :], s, NEG_INF)
+                if use_approx:
+                    ts, ti = jax.lax.approx_max_k(s, kc)
+                else:
+                    ts, ti = jax.lax.top_k(s, kc)
+                ms = jnp.concatenate([cs, ts], axis=1)
+                mi = jnp.concatenate([ci, ti + off], axis=1)
+                s2, pos = jax.lax.top_k(ms, kc)
+                return (s2, jnp.take_along_axis(mi, pos, axis=1), off + ch), None
+
+            init = (
+                jnp.full((B, kc), NEG_INF, jnp.float32),
+                jnp.zeros((B, kc), jnp.int32),
+                jnp.int32(0),
+            )
+            # the carry becomes device-varying once local rows mix in
+            init = jax.lax.pcast(init, ("data",), to="varying")
+            (s, i, _), _ = jax.lax.scan(
+                body,
+                init,
+                (emb_l.reshape(nch, ch, -1), valid_l.reshape(nch, ch, -1)),
+            )
             shard = jax.lax.axis_index("data")
-            i = i + shard * emb_l.shape[0]  # globalize within block
-            return s, i
+            return s, i + shard * emb_l.shape[0]
 
         from jax import shard_map
 
@@ -125,23 +192,232 @@ class MipsIndex:
             in_specs=(P("data", None), P("data", None), P(None, None)),
             out_specs=(P(None, "data"), P(None, "data")),
         )(emb, valid, queries)
-        # s/i: (B, ndev*k) concatenated local winners -> final top-k
         fs, fi_pos = jax.lax.top_k(s, k)
         fi = jnp.take_along_axis(i, fi_pos, axis=1)
         return fs, fi
 
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def _topk_block(self, emb, valid, queries, k, use_approx):
+        return self._topk_block_impl(emb, valid, queries, k, use_approx)
+
+    def _count_above_impl(self, emb, valid, queries, thresholds):
+        """Per query: #rows with score > threshold (exactness verification)."""
+
+        def local_count(emb_l, valid_l, q, thr):
+            nch, ch = self._chunk_view(emb_l)
+            qd = q.astype(self.dtype)
+
+            def body(cnt, xs):
+                c, v = xs
+                s = jnp.dot(qd, c.T, preferred_element_type=jnp.float32)
+                s = jnp.where(v[:, 0][None, :], s, NEG_INF)
+                return cnt + jnp.sum(s > thr[:, None], axis=1), None
+
+            cnt0 = jax.lax.pcast(
+                jnp.zeros((q.shape[0],), jnp.int32), ("data",), to="varying"
+            )
+            cnt, _ = jax.lax.scan(
+                body,
+                cnt0,
+                (emb_l.reshape(nch, ch, -1), valid_l.reshape(nch, ch, -1)),
+            )
+            return jax.lax.psum(cnt, "data")
+
+        from jax import shard_map
+
+        return shard_map(
+            local_count,
+            mesh=self.mesh,
+            in_specs=(P("data", None), P("data", None), P(None, None), P(None,)),
+            out_specs=P(None,),
+        )(emb, valid, queries, thresholds)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _count_above(self, emb, valid, queries, thresholds):
+        return self._count_above_impl(emb, valid, queries, thresholds)
+
+    def _verified_search_device(self, emb, valid, q, k):
+        """The full auto pipeline as one traceable program: approx top-k +
+        exactness verification flag (no host round trips)."""
+        s, i = self._topk_block_impl(emb, valid, q, k, True)
+        tau = s[:, k - 1]
+        cnt = self._count_above_impl(emb, valid, q, tau)
+        found_gt = jnp.sum(s > tau[:, None], axis=1)
+        return s, i, jnp.all(cnt == found_gt)
+
+    def benchmark(self, queries_batches: np.ndarray, k: int = 100) -> dict:
+        """On-device throughput of the verified-exact search pipeline.
+
+        queries_batches: (iters, B, D). Phase 1 runs every batch inside ONE
+        jitted call (host/tunnel latency stays out of the measurement),
+        keeping results on device and fetching only the per-query
+        verification failures; phase 2 exact-rescans those few queries.
+        The reported time covers both phases — the result is exact.
+        """
+        import time
+
+        assert len(self._blocks) == 1, "benchmark expects a single block"
+        emb, valid, _n, _off = self._blocks[0]
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run(qs, emb, valid, k):
+            def body(_, q):
+                s, i = self._topk_block_impl(emb, valid, q, k, True)
+                tau = s[:, k - 1]
+                cnt = self._count_above_impl(emb, valid, q, tau)
+                found_gt = jnp.sum(s > tau[:, None], axis=1)
+                return None, (s[:, 0].sum() + jnp.sum(i[:, 0]), cnt != found_gt)
+
+            _, (csums, fails) = jax.lax.scan(body, None, qs)
+            return csums.sum(), fails  # fails: (iters, B) bool
+
+        qs = jax.device_put(
+            jnp.asarray(queries_batches, jnp.float32),
+            NamedSharding(self.mesh, P(None, None, None)),
+        )
+        def fallback_device(fails):
+            """Exact rescan of failing queries, results left on device
+            (only a checksum scalar crosses the tunnel)."""
+            idx = np.nonzero(fails.reshape(-1))[0]
+            flat_q = np.asarray(queries_batches).reshape(-1, D)
+            total = 0.0
+            for lo in range(0, len(idx), 64):
+                part = idx[lo : lo + 64]
+                pad_b = max(8, 1 << (len(part) - 1).bit_length())
+                fq = np.zeros((pad_b, D), np.float32)
+                fq[: len(part)] = flat_q[part]
+                se, _ie = self._exact_iter_topk(emb, valid, jnp.asarray(fq), k)
+                total += float(se[0, 0])
+            return total
+
+        csum, fails = run(qs, emb, valid, k)  # compile + warmup
+        iters, B, D = queries_batches.shape
+        fails_warm = np.asarray(fails)
+        if fails_warm.any():
+            # pre-compile the fallback so phase 2 isn't billed compile time
+            # (same batches re-run below => same failures)
+            warm_mask = np.zeros_like(fails_warm)
+            warm_mask.flat[0] = True
+            fallback_device(warm_mask)
+
+        t0 = time.perf_counter()
+        csum, fails = run(qs, emb, valid, k)
+        fails = np.asarray(fails)
+        n_fail = int(fails.sum())
+        t1 = time.perf_counter()
+        if n_fail:
+            fallback_device(fails)
+        dt = time.perf_counter() - t0
+        return {
+            "seconds": dt,
+            "phase1_seconds": t1 - t0,
+            "qps": iters * B / dt,
+            "all_exact": True,  # by construction after phase 2
+            "fallback_queries": n_fail,
+            "iters": iters,
+            "batch": B,
+        }
+
+    # ------------------------------------------------------------------ #
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _exact_iter_topk(self, emb, valid, queries, k):
+        """Sort-free exact top-k for a SMALL query batch: materialize the
+        per-device score row, then k rounds of argmax+mask (k sequential
+        HBM sweeps of a (B_small, C_local) buffer — cheap for B<=64, and a
+        far simpler program to compile than a sorting network)."""
+
+        def local(emb_l, valid_l, q):
+            s = jnp.dot(
+                q.astype(self.dtype), emb_l.T, preferred_element_type=jnp.float32
+            )
+            s = jnp.where(valid_l[:, 0][None, :], s, NEG_INF)
+            B = q.shape[0]
+            rows = jnp.arange(B)
+
+            def body(_j, carry):
+                vals, idxs, s = carry
+                top = jnp.argmax(s, axis=1)  # (B,)
+                v = s[rows, top]
+                vals = jnp.roll(vals, -1, axis=1).at[:, -1].set(v)
+                idxs = jnp.roll(idxs, -1, axis=1).at[:, -1].set(top)
+                s = s.at[rows, top].set(NEG_INF)
+                return vals, idxs, s
+
+            buf = jax.lax.pcast(
+                (jnp.full((B, k), NEG_INF, jnp.float32), jnp.zeros((B, k), jnp.int32)),
+                ("data",),
+                to="varying",
+            )
+            init = (buf[0], buf[1], s)
+            # after k roll+append steps the buffer reads [v1..vk] descending
+            vals, idxs, _ = jax.lax.fori_loop(0, k, body, init)
+            shard = jax.lax.axis_index("data")
+            return vals, idxs + shard * emb_l.shape[0]
+
+        from jax import shard_map
+
+        s, i = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P("data", None), P("data", None), P(None, None)),
+            out_specs=(P(None, "data"), P(None, "data")),
+        )(emb, valid, queries)
+        fs, fi_pos = jax.lax.top_k(s, k)
+        fi = jnp.take_along_axis(i, fi_pos, axis=1)
+        return fs, fi
+
+    def _exact_fallback(self, emb, valid, queries, k, fail_idx):
+        """Exact rescan for the handful of queries whose approx candidates
+        failed verification; padded to a power of two so jit programs are
+        reused across calls."""
+        queries = np.asarray(queries)
+        out_s, out_i = [], []
+        for lo in range(0, len(fail_idx), 64):
+            idx = fail_idx[lo : lo + 64]
+            nfail = len(idx)
+            pad_b = max(8, 1 << (nfail - 1).bit_length())  # pow2, reuse jits
+            fq = np.zeros((pad_b, queries.shape[1]), np.float32)
+            fq[:nfail] = queries[idx]
+            se, ie = self._exact_iter_topk(emb, valid, jnp.asarray(fq), k)
+            out_s.append(np.asarray(se)[:nfail])
+            out_i.append(np.asarray(ie)[:nfail])
+        return np.concatenate(out_s), np.concatenate(out_i)
+
+    def _search_block(self, emb, valid, queries, k) -> Tuple[np.ndarray, np.ndarray]:
+        if self.method == "exact_sort":
+            s, i = self._topk_block(emb, valid, queries, k, False)
+            return np.asarray(s), np.asarray(i)
+        s, i = self._topk_block(emb, valid, queries, k, True)
+        if self.method == "approx":
+            return np.asarray(s), np.asarray(i)
+        # auto: verify exactness. tau = k-th best found; exact iff
+        # count(score > tau) == |found candidates with score > tau|
+        s = np.asarray(s)
+        i = np.asarray(i)
+        tau = s[:, k - 1]
+        cnt = np.asarray(self._count_above(emb, valid, queries, jnp.asarray(tau)))
+        found_gt = (s > tau[:, None]).sum(axis=1)
+        fail_idx = np.nonzero(cnt != found_gt)[0]
+        if len(fail_idx):
+            se, ie = self._exact_fallback(emb, valid, queries, k, fail_idx)
+            s[fail_idx], i[fail_idx] = se, ie
+        return s, i
+
     def search(self, queries: np.ndarray, k: int = 100) -> Tuple[np.ndarray, np.ndarray]:
-        """Global top-k over all added shards. queries: (B, D) fp32."""
+        """Global top-k over all added blocks. queries: (B, D) fp32."""
         assert self._blocks, "index is empty"
         k_eff = min(k, self._total_rows)
-        q = jnp.asarray(queries, jnp.float32)
-        q = jax.device_put(q, NamedSharding(self.mesh, P(None, None)))
+        q = jax.device_put(
+            jnp.asarray(queries, jnp.float32),
+            NamedSharding(self.mesh, P(None, None)),
+        )
         per_block_s, per_block_i = [], []
         for emb, valid, _n, offset in self._blocks:
             # never ask a block for more rows than every device holds
             k_block = min(k_eff, emb.shape[0] // self.ndev)
             s, i = self._search_block(emb, valid, q, k_block)
-            s, i = np.asarray(s), np.asarray(i, dtype=np.int64) + offset
+            i = i.astype(np.int64) + offset
             if k_block < k_eff:  # pad so merge shapes agree
                 pad = k_eff - k_block
                 s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)

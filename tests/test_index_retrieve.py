@@ -59,6 +59,35 @@ def test_mips_multi_block_global_indices():
     np.testing.assert_allclose(s, es, rtol=1e-5)
 
 
+@pytest.mark.parametrize("method", ["auto", "approx", "exact_sort"])
+def test_mips_methods_agree(method):
+    rng = np.random.default_rng(3)
+    corpus = rng.normal(size=(2000, 16)).astype(np.float32)
+    queries = rng.normal(size=(7, 16)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method=method)
+    index.add(corpus)
+    s, i = index.search(queries, k=13)
+    es, ei = _np_topk(corpus, queries, 13)
+    np.testing.assert_array_equal(i, ei)
+
+
+def test_mips_verification_counts():
+    """The auto-mode exactness check: count_above(tau) == found-above-tau."""
+    rng = np.random.default_rng(4)
+    corpus = rng.normal(size=(512, 8)).astype(np.float32)
+    queries = rng.normal(size=(3, 8)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32)
+    index.add(corpus)
+    s, i = index.search(queries, k=9)
+    tau = s[:, -1]
+    scores = queries @ corpus.T
+    true_cnt = (scores > tau[:, None]).sum(1)
+    cnt = np.asarray(
+        index._count_above(*index._blocks[0][:2], jnp.asarray(queries), jnp.asarray(tau))
+    )
+    np.testing.assert_array_equal(cnt, true_cnt)
+
+
 def test_mips_k_larger_than_corpus():
     rng = np.random.default_rng(2)
     corpus = rng.normal(size=(10, 8)).astype(np.float32)
