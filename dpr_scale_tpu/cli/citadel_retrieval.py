@@ -1,0 +1,115 @@
+"""End-to-end CITADEL/COIL retrieval over the inverted expert index
+(reference CITADELRetrievalTask, dpr_scale/task/citadel_retrieval_task.py —
+whose index module is missing on the surveyed branch; behavior rebuilt in
+dpr_scale_tpu.index.inverted).
+
+Usage:
+    python -m dpr_scale_tpu.cli.citadel_retrieval --config conf/citadel.yaml \
+        task.checkpoint_path=/ckpt/params_best \
+        task.ctx_embeddings_dir=/out/citadel_index \
+        datamodule.test_path=queries.tsv datamodule.trec_format=true \
+        datamodule.passages_path=corpus.tsv \
+        task.output_trec_path=/out/citadel.trec
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpr_scale_tpu.cli.common import build_tokenizer
+from dpr_scale_tpu.cli.generate_multivec_embeddings import build_multivec_model
+from dpr_scale_tpu.config import load_config
+from dpr_scale_tpu.data.datamodule import QueriesDataModule
+from dpr_scale_tpu.data.datasets import CSVDataset
+from dpr_scale_tpu.index.inverted import InvertedExpertIndex
+from dpr_scale_tpu.retrieve.writers import write_dpr_json, write_trec_run
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.overrides)
+
+    tokenizer = build_tokenizer(cfg)
+    model, params = build_multivec_model(cfg, tokenizer)
+    d = cfg.datamodule
+    passages = CSVDataset(d["passages_path"])
+    index = InvertedExpertIndex.load(
+        cfg.task["ctx_embeddings_dir"],
+        num_docs=len(passages),
+        portion=cfg.task.get("portion", 1.0),
+        quantizer=cfg.task.get("quantizer"),
+    )
+    print(f"Loaded inverted index: {index.stats()}")
+
+    dm = QueriesDataModule(
+        tokenizer,
+        d["test_path"],
+        batch_size=d.get("encode_batch_size", 32),
+        trec_format=d.get("trec_format", False),
+    )
+    questions = dm.rows()
+    topk_route = cfg.task.get("query_topk", 1)
+    add_cls = cfg.task.get("add_cls", False)
+    encode = jax.jit(
+        lambda ids, mask: model.apply(
+            {"params": params}, ids, mask, topk=topk_route, add_cls=add_cls
+        )
+    )
+
+    k = cfg.task.get("topk", 100)
+    all_scores, all_rows = [], []
+    t_encode = 0.0
+    for batch in dm.batches():
+        tic = time.perf_counter()
+        out = encode(jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]))
+        out = {key: np.asarray(v) for key, v in out.items()}
+        t_encode += time.perf_counter() - tic
+        n = batch["input_ids"].shape[0] - int(batch["pad_count"])
+        out = {key: (v[:n] if np.ndim(v) > 0 else v) for key, v in out.items()}
+        s, r = index.search(out, topk=k)
+        all_scores.append(s)
+        all_rows.append(r)
+    scores = np.concatenate(all_scores, 0)
+    rows = np.concatenate(all_rows, 0)
+    index.latency["encode_time"] = t_encode
+    print("latency:", dict(index.latency))
+
+    results = []
+    for qi in range(len(questions)):
+        ctxs = []
+        for sc, row in zip(scores[qi], rows[qi]):
+            p = passages[int(row)]
+            ctxs.append(
+                {
+                    "id": p.get("id", str(int(row))),
+                    "title": p.get("title", ""),
+                    "text": p.get("text", ""),
+                    "score": float(sc),
+                }
+            )
+        results.append(ctxs)
+
+    if cfg.task.get("output_path"):
+        write_dpr_json(cfg.task["output_path"], questions, results)
+        print(f"Wrote {cfg.task['output_path']}")
+    if cfg.task.get("output_trec_path"):
+        qids = [str(q.get("id", i)) for i, q in enumerate(questions)]
+        write_trec_run(
+            cfg.task["output_trec_path"],
+            qids,
+            [[c["id"] for c in ctxs] for ctxs in results],
+            [[c["score"] for c in ctxs] for ctxs in results],
+        )
+        print(f"Wrote {cfg.task['output_trec_path']}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Inverted expert index: consistency with the training scorer, IO
+roundtrip in the reference shard format, pruning/quantization options."""
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpr_scale_tpu.index.inverted import InvertedExpertIndex
+from dpr_scale_tpu.models import TransformerConfig
+from dpr_scale_tpu.models.multivec import MultiVecEncoder
+from dpr_scale_tpu.train.multivec import dot_score, expert_sim_score
+
+CFG = dataclasses.replace(TransformerConfig.tiny(vocab_size=32), dtype=jnp.float32)
+
+
+def _encode(variant, n, L, seed, topk=2, add_cls=False):
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(5, 32, size=(n, L)), jnp.int32)
+    mask = jnp.ones((n, L), jnp.int32)
+    model = MultiVecEncoder(
+        CFG, variant=variant, tok_projection_dim=8,
+        cls_projection_dim=8 if add_cls else None,
+    )
+    params = model.init(jax.random.PRNGKey(0), ids, mask, topk=topk, add_cls=add_cls)
+    out = model.apply(params, ids, mask, topk=topk, add_cls=add_cls)
+    return model, params, out
+
+
+@pytest.mark.parametrize("variant", ["citadel", "coil"])
+def test_index_matches_training_scorer(variant, tmp_path):
+    """Index search must reproduce expert_sim_score + cls over the corpus."""
+    topk = 2 if variant == "citadel" else 1
+    model, params, doc_out = _encode(variant, 6, 10, seed=0, topk=topk, add_cls=True)
+    _m, _p, q_out = _encode(variant, 3, 8, seed=1, topk=topk, add_cls=True)
+    # re-encode queries with the SAME params as docs for a fair comparison
+    rng = np.random.default_rng(1)
+    q_ids = jnp.asarray(rng.integers(5, 32, size=(3, 8)), jnp.int32)
+    q_out = model.apply(params, q_ids, jnp.ones((3, 8), jnp.int32), topk=topk, add_cls=True)
+
+    index = InvertedExpertIndex(dim=8, num_docs=6)
+    index.add_batch(range(6), {k: np.asarray(v) for k, v in doc_out.items()})
+    index.finalize()
+    scores, rows = index.search({k: np.asarray(v) for k, v in q_out.items()}, topk=6)
+
+    expected = np.asarray(expert_sim_score(q_out, doc_out, query_pool="sum"))
+    expected = expected + np.asarray(dot_score(q_out["cls_repr"], doc_out["cls_repr"]))
+    for b in range(3):
+        dense = np.full(6, -np.inf)
+        dense[rows[b]] = scores[b]
+        np.testing.assert_allclose(dense, expected[b], rtol=1e-4, atol=1e-4)
+
+
+def test_index_save_load_roundtrip(tmp_path):
+    model, params, doc_out = _encode("citadel", 5, 8, seed=2, topk=2, add_cls=True)
+    doc_out = {k: np.asarray(v) for k, v in doc_out.items()}
+    index = InvertedExpertIndex(dim=8, num_docs=5)
+    index.add_batch(range(5), doc_out)
+    index.finalize()
+    index.save(str(tmp_path), shard_id=0)
+    assert os.path.isdir(tmp_path / "expert_0000")
+    assert (tmp_path / "cls_0000.pkl").exists()
+
+    loaded = InvertedExpertIndex.load(str(tmp_path), num_docs=5)
+    assert set(loaded.experts) == set(index.experts)
+    _m, _p, q_out = _encode("citadel", 2, 8, seed=3, topk=2, add_cls=True)
+    q_out = {k: np.asarray(v) for k, v in q_out.items()}
+    s1, r1 = index.search(q_out, topk=5)
+    s2, r2 = loaded.search(q_out, topk=5)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_index_multi_shard_merge(tmp_path):
+    """Two emission shards (expert_0000/expert_0001) merge on load —
+    the expert-parallel layout."""
+    model, params, doc_out = _encode("citadel", 6, 8, seed=4, topk=1)
+    doc_out = {k: np.asarray(v) for k, v in doc_out.items()}
+    half = lambda d, sl: {k: v[sl] for k, v in d.items() if np.ndim(v) > 0}
+    i0 = InvertedExpertIndex(dim=8, num_docs=6)
+    i0.add_batch(range(0, 3), half(doc_out, slice(0, 3)))
+    i0.finalize()
+    i0.save(str(tmp_path), shard_id=0)
+    i1 = InvertedExpertIndex(dim=8, num_docs=6)
+    i1.add_batch(range(3, 6), half(doc_out, slice(3, 6)))
+    i1.finalize()
+    i1.save(str(tmp_path), shard_id=1)
+
+    full = InvertedExpertIndex(dim=8, num_docs=6)
+    full.add_batch(range(6), doc_out)
+    full.finalize()
+
+    loaded = InvertedExpertIndex.load(str(tmp_path), num_docs=6)
+    _m, _p, q_out = _encode("citadel", 2, 8, seed=5, topk=1)
+    q_out = {k: np.asarray(v) for k, v in q_out.items()}
+    s1, r1 = full.search(q_out, topk=6)
+    s2, r2 = loaded.search(q_out, topk=6)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_index_pruning_and_quantization():
+    model, params, doc_out = _encode("citadel", 6, 10, seed=6, topk=2)
+    doc_out = {k: np.asarray(v) for k, v in doc_out.items()}
+    full = InvertedExpertIndex(dim=8, num_docs=6)
+    full.add_batch(range(6), doc_out)
+    full.finalize()
+
+    # weight-threshold pruning drops postings
+    pruned = InvertedExpertIndex(dim=8, num_docs=6)
+    pruned.add_batch(range(6), doc_out, weight_threshold=0.2)
+    pruned.finalize()
+    assert pruned.stats()["num_postings"] < full.stats()["num_postings"]
+
+    # int8 quantization approximates full scores
+    quant = InvertedExpertIndex(dim=8, num_docs=6)
+    quant.add_batch(range(6), doc_out)
+    quant.finalize(quantizer="pq")
+    _m, _p, q_out = _encode("citadel", 2, 8, seed=7, topk=2)
+    q_out = {k: np.asarray(v) for k, v in q_out.items()}
+    sf, rf = full.search(q_out, topk=6)
+    sq, rq = quant.search(q_out, topk=6)
+    np.testing.assert_allclose(sf, sq, rtol=0.08, atol=0.05)
+    assert full.latency["search_time"] > 0  # latency accounting is wired

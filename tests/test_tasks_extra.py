@@ -1,0 +1,212 @@
+"""Distillation, rerank family, SPAR combination/tuning, ensemble encoders."""
+import dataclasses
+import json
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpr_scale_tpu.data import HFTokenizer, IDCSVDataset, QueryTRECDataset, TRECCandidateDataset
+from dpr_scale_tpu.data.distill import DistillBatcher, DistillExampleBuilder
+from dpr_scale_tpu.models import BiEncoder, TransformerConfig
+from dpr_scale_tpu.models.ensemble import ConcatEncoders
+from dpr_scale_tpu.models.multivec import CrossEncoder, MultiVecEncoder
+from dpr_scale_tpu.optim import make_optimizer
+from dpr_scale_tpu.retrieve.rerank import rerank_cross_encoder, rerank_dense, rerank_multivec
+from dpr_scale_tpu.retrieve.spar import (
+    combine_passage_vectors,
+    combine_query_vectors,
+    tune_spar_weight,
+)
+from dpr_scale_tpu.train.distill import DPRDistillTask
+
+CFG = dataclasses.replace(TransformerConfig.tiny(vocab_size=32), dtype=jnp.float32)
+
+
+# ------------------------------------------------------------------ #
+# distillation
+
+
+def test_distill_builder_two_rows_per_question():
+    rows = [
+        {
+            "question": "q0",
+            "ctx_target_vectors": [[1.0, 0.0], [0.5, 0.5]],
+            "qry_target_vector": [0.0, 1.0],
+        }
+    ]
+    built = DistillExampleBuilder(pos_ctx_sample=False).build_batch(rows, "eval")
+    assert built["questions"] == ["q0", "q0"]
+    assert built["targets"] == [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(ValueError):
+        DistillExampleBuilder().build_batch(
+            [{"question": "x", "ctx_target_vectors": [], "qry_target_vector": [0.0]}]
+        )
+
+
+def test_distill_task_learns(tiny_bert_dir):
+    tok = HFTokenizer(tiny_bert_dir, max_seq_len=12)
+    rows = [
+        {
+            "question": f"who wrote book {i}",
+            "ctx_target_vectors": [np.eye(16)[i % 16].tolist()],
+            "qry_target_vector": np.eye(16)[(i + 1) % 16].tolist(),
+        }
+        for i in range(8)
+    ]
+    batch = DistillBatcher(tok)(DistillExampleBuilder().build_batch(rows))
+    assert batch["query_ids"].shape == (16, 12)
+    assert batch["target_vectors"].shape == (16, 16)
+
+    task = DPRDistillTask(
+        cfg=CFG, optimizer=make_optimizer("adamw", 3e-3, grad_clip_norm=2.0)
+    )
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    step = task.make_train_step()
+    sb = task.shard(batch)
+    state, m = step(state, sb)
+    first_loss = float(m["train_loss"])
+    for _ in range(80):
+        state, m = step(state, sb)
+    assert float(m["train_loss"]) < first_loss * 0.8
+    ev = task.run_eval(state, [batch])
+    assert ev["query_count"] == 16
+    assert 0 <= ev["mrr"] <= 1
+
+
+# ------------------------------------------------------------------ #
+# rerank
+
+
+@pytest.fixture
+def trec_setup(tmp_path, tiny_bert_dir):
+    passages = tmp_path / "passages.tsv"
+    with open(passages, "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for i in range(6):
+            f.write(f"d{i}\tpassage text {i}\ttitle {i}\n")
+    queries = tmp_path / "queries.tsv"
+    queries.write_text("q1\twho wrote\nq2\twhat city\n")
+    run = tmp_path / "cand.trec"
+    run.write_text(
+        "q1 Q0 d0 1 5.0 x\nq1 Q0 d1 2 4.0 x\nq1 Q0 d2 3 3.0 x\n"
+        "q2 Q0 d3 1 5.0 x\nq2 Q0 d4 2 4.0 x\n"
+    )
+    ds = TRECCandidateDataset(
+        str(run), QueryTRECDataset(str(queries)), IDCSVDataset(str(passages))
+    )
+    tok = HFTokenizer(tiny_bert_dir, max_seq_len=16)
+    return ds, tok, tmp_path
+
+
+def test_rerank_dense(trec_setup):
+    ds, tok, tmp = trec_setup
+    model = BiEncoder(CFG, shared=True)
+    ids = jnp.ones((2, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids, ids, ids)["params"]
+    out = rerank_dense(
+        model, params, tok, ds, batch_size=4,
+        output_trec_path=str(tmp / "rerank.trec"),
+        output_pickle_dir=str(tmp / "pkl"),
+    )
+    assert out["qids"] == ["q1", "q1", "q1", "q2", "q2"]
+    assert len(out["scores"]) == 5
+    lines = (tmp / "rerank.trec").read_text().splitlines()
+    assert len(lines) == 5
+    # q1's rows sorted by descending score
+    q1 = [l.split() for l in lines if l.startswith("q1 ")]
+    scores = [float(r[4]) for r in q1]
+    assert scores == sorted(scores, reverse=True)
+    assert [r[3] for r in q1] == ["1", "2", "3"]
+    with open(tmp / "pkl" / "scores_0000.pkl", "rb") as f:
+        assert len(pickle.load(f)) == 5
+
+
+def test_rerank_multivec(trec_setup):
+    ds, tok, tmp = trec_setup
+    model = MultiVecEncoder(CFG, variant="citadel", tok_projection_dim=8)
+    ids = jnp.ones((2, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids), topk=1)["params"]
+    out = rerank_multivec(model, params, tok, ds, batch_size=4, query_topk=1, context_topk=1)
+    assert len(out["scores"]) == 5
+    assert np.isfinite(out["scores"]).all()
+
+
+def test_rerank_cross_encoder(trec_setup):
+    ds, tok, tmp = trec_setup
+    model = CrossEncoder(CFG)
+    ids = jnp.ones((2, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
+    out = rerank_cross_encoder(
+        model, params, tok, ds, batch_size=4, output_trec_path=str(tmp / "ce.trec")
+    )
+    assert len(out["scores"]) == 5
+    assert (tmp / "ce.trec").exists()
+
+
+# ------------------------------------------------------------------ #
+# SPAR / ensemble
+
+
+def test_spar_combination_poolings():
+    q1 = np.asarray([[1.0, 2.0]])
+    q2 = np.asarray([[3.0, 4.0]])
+    np.testing.assert_allclose(
+        combine_query_vectors(q1, q2, 0.5, "concat"), [[1, 2, 1.5, 2]]
+    )
+    np.testing.assert_allclose(
+        combine_query_vectors(q1, q2, 1.0, "mean"), [[2.0, 3.0]]
+    )
+    np.testing.assert_allclose(
+        combine_query_vectors(q1, q2, 2.0, "sum"), [[7.0, 10.0]]
+    )
+    np.testing.assert_allclose(
+        combine_passage_vectors(q1, q2, "concat"), [[1, 2, 3, 4]]
+    )
+    # concat of (q, w*q2) . concat(p, p2) == q.p + w*(q2.p2): SPAR's whole trick
+    p1 = np.asarray([[0.5, 0.5]])
+    p2 = np.asarray([[1.0, 0.0]])
+    w = 0.7
+    lhs = combine_query_vectors(q1, q2, w, "concat") @ combine_passage_vectors(p1, p2, "concat").T
+    rhs = q1 @ p1.T + w * (q2 @ p2.T)
+    np.testing.assert_allclose(lhs, rhs)
+
+
+def test_tune_spar_weight_picks_helpful_weight():
+    rng = np.random.default_rng(0)
+    nq, npass, d = 4, 50, 8
+    p1 = rng.normal(size=(npass, d))
+    p2 = rng.normal(size=(npass, d))
+    q1 = rng.normal(size=(nq, d))
+    # model 2 is perfectly informative: q2 = p2[gold]
+    gold = np.asarray([3, 7, 11, 13])
+    q2 = p2[gold] * 5
+
+    def judge(w, per_query):
+        return np.mean([gold[i] == pq[0] for i, pq in enumerate(per_query)])
+
+    out = tune_spar_weight(q1, q2, p1, p2, judge, weights=(0.0, 1.0, 5.0), topk=10)
+    assert out["best_weight"] in (1.0, 5.0)
+    assert out["scores"][5.0] >= out["scores"][0.0]
+
+
+def test_concat_encoders_spar_drboost():
+    ids = jnp.ones((3, 8), jnp.int32)
+    mask = jnp.ones_like(ids)
+    comps = []
+    for seed in (0, 1):
+        m = BiEncoder(CFG, shared=True)
+        p = m.init(jax.random.PRNGKey(seed), ids, mask, ids, mask)["params"]
+        comps.append((m, p))
+    ens = ConcatEncoders(comps, query_weights=[1.0, 0.5])
+    q = np.asarray(ens.encode_queries(ids, mask))
+    c = np.asarray(ens.encode_contexts(ids, mask))
+    assert q.shape == (3, 32) and c.shape == (3, 32)
+    # second half of query embedding is weighted, context is not
+    m2, p2 = comps[1]
+    base_q = np.asarray(m2.apply({"params": p2}, ids, mask, method=m2.encode_query))
+    np.testing.assert_allclose(q[:, 16:], 0.5 * base_q, rtol=1e-5)
+    np.testing.assert_allclose(c[:, 16:], base_q, rtol=1e-5)  # shared tower
