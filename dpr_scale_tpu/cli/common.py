@@ -76,8 +76,52 @@ def build_optimizer(cfg: Config, total_steps: int):
 
 def build_task(
     cfg: Config, optimizer=None, mesh=None, n_devices: Optional[int] = None
-) -> DenseRetrieverTask:
+):
+    """Task registry keyed on ``task.type``: dense (default) | multivec |
+    distill (reference task classes, SURVEY.md §2.2)."""
     t = cfg.task
+    mesh = mesh if mesh is not None else get_mesh(n_devices)
+    task_type = t.get("type", "dense")
+    if task_type == "multivec":
+        from dpr_scale_tpu.train.multivec import MultiVecRetrieverTask
+
+        return MultiVecRetrieverTask(
+            cfg=build_model_config(cfg),
+            variant=t.get("variant", "citadel"),
+            tok_projection_dim=t.get("tok_projection_dim"),
+            cls_projection_dim=t.get("cls_projection_dim"),
+            add_cls=t.get("add_cls", False),
+            query_topk=t.get("query_topk", 1),
+            context_topk=t.get("context_topk", 1),
+            shared_model=t.get("shared_model", True),
+            query_pool=t.get("query_pool", "sum"),
+            in_batch=t.get("in_batch", True),
+            k=t.get("k", 1),
+            query_expert_load_loss_coef=t.get("query_expert_load_loss_coef", 0.0),
+            context_expert_load_loss_coef=t.get("context_expert_load_loss_coef", 0.0),
+            query_router_marg_load_loss_coef=t.get(
+                "query_router_marg_load_loss_coef", 0.0
+            ),
+            context_router_marg_load_loss_coef=t.get(
+                "context_router_marg_load_loss_coef", 0.0
+            ),
+            anneal_factor=t.get("anneal_factor", 0.0),
+            teacher_coef=t.get("teacher_coef", 0.0),
+            tau=t.get("tau", 1.0),
+            max_epochs=cfg.trainer.get("max_epochs", 1),
+            optimizer=optimizer,
+            mesh=mesh,
+        )
+    if task_type == "distill":
+        from dpr_scale_tpu.train.distill import DPRDistillTask
+
+        return DPRDistillTask(
+            cfg=build_model_config(cfg),
+            projection_dim=t.model.get("projection_dim", 0),
+            k=t.get("k", 1),
+            optimizer=optimizer,
+            mesh=mesh,
+        )
     return DenseRetrieverTask(
         cfg=build_model_config(cfg),
         projection_dim=t.model.get("projection_dim", 0),
@@ -87,12 +131,25 @@ def build_task(
         in_batch_negatives=t.get("in_batch_negatives", True),
         in_batch_eval=t.get("in_batch_eval", True),
         optimizer=optimizer,
-        mesh=mesh if mesh is not None else get_mesh(n_devices),
+        mesh=mesh,
     )
 
 
-def build_datamodule(cfg: Config, tokenizer: HFTokenizer) -> DenseRetrieverDataModule:
+def build_datamodule(cfg: Config, tokenizer: HFTokenizer):
     d = cfg.datamodule
+    if cfg.task.get("type") == "distill":
+        from dpr_scale_tpu.data.datamodule import DistillDataModule
+
+        return DistillDataModule(
+            tokenizer=tokenizer,
+            train_path=d.get("train_path"),
+            val_path=d.get("val_path"),
+            test_path=d.get("test_path"),
+            batch_size=d.get("batch_size", 8),
+            pos_ctx_sample=d.get("pos_ctx_sample", True),
+            drop_last=d.get("drop_last", True),
+            seed=d.get("seed", 0),
+        )
     return DenseRetrieverDataModule(
         tokenizer=tokenizer,
         train_path=d.get("train_path"),

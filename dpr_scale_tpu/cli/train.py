@@ -26,6 +26,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("--test-only", action="store_true")
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="restore the last checkpoint and continue training",
+    )
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = parser.parse_args(argv)
     cfg = load_config(args.config, args.overrides)
@@ -81,6 +86,12 @@ def main(argv=None):
     if pretrained:
         state = task.load_params(state, load_params(pretrained, state.params))
         print(f"Loaded params from {pretrained}")
+    if args.resume and checkpoint is not None:
+        try:
+            state = checkpoint.restore_last(state)
+            print(f"Resumed from last checkpoint at step {int(state.step)}")
+        except FileNotFoundError:
+            print("No last checkpoint found; starting fresh")
 
     if args.test_only:
         metrics = trainer.test(state, restore_best=False)

@@ -140,6 +140,67 @@ class DenseRetrieverDataModule:
         return self._iter(self.test_dataset, order, self.test_batch_size, "test")
 
 
+class DistillDataModule:
+    """JSONL rows with teacher vectors -> distillation batches
+    (reference DPRDistillTransform pipeline)."""
+
+    def __init__(
+        self,
+        tokenizer: HFTokenizer,
+        train_path: Optional[str] = None,
+        val_path: Optional[str] = None,
+        test_path: Optional[str] = None,
+        batch_size: int = 8,
+        pos_ctx_sample: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch_batches: int = 2,
+    ):
+        from dpr_scale_tpu.data.distill import DistillBatcher, DistillExampleBuilder
+
+        self.builder = DistillExampleBuilder(pos_ctx_sample=pos_ctx_sample, seed=seed)
+        self.batcher = DistillBatcher(tokenizer)
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        opn = lambda p: MemoryMappedDataset(p) if p else None
+        self.train_dataset = opn(train_path)
+        self.val_dataset = opn(val_path)
+        self.test_dataset = opn(test_path)
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.train_dataset)
+        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+
+    def _iter(self, dataset, order, stage):
+        def gen():
+            for lo in range(0, len(order), self.batch_size):
+                idx = order[lo : lo + self.batch_size]
+                if stage == "train" and self.drop_last and len(idx) < self.batch_size:
+                    return
+                rows = [dataset[int(i)] for i in idx]
+                yield self.batcher(self.builder.build_batch(rows, stage))
+
+        return prefetch(gen(), self.prefetch_batches)
+
+    def train_batches(self, epoch: int = 0):
+        rng = np.random.default_rng(self.seed + epoch)
+        return self._iter(
+            self.train_dataset, rng.permutation(len(self.train_dataset)), "train"
+        )
+
+    def val_batches(self):
+        if self.val_dataset is None:
+            return iter(())
+        return self._iter(self.val_dataset, np.arange(len(self.val_dataset)), "eval")
+
+    def test_batches(self):
+        if self.test_dataset is None:
+            return iter(())
+        return self._iter(self.test_dataset, np.arange(len(self.test_dataset)), "test")
+
+
 class PassagesDataModule:
     """Corpus TSV -> fixed-size context batches with corpus ids.
 

@@ -68,7 +68,8 @@ class DPRDistillTask:
             )
             return jnp.mean((pred - batch["target_vectors"]) ** 2)
 
-        def train_step(state: TrainState, batch):
+        def train_step(state: TrainState, batch, epoch=0):
+            del epoch
             rng = jax.random.fold_in(state.dropout_rng, state.step)
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
             updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)

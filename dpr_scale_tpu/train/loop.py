@@ -45,10 +45,13 @@ class Trainer:
         global_step = int(state.step)
         t0 = time.time()
         examples = 0
+        import jax.numpy as jnp
+
         for epoch in range(self.max_epochs):
+            epoch_arr = jnp.asarray(epoch, jnp.float32)  # traced: no retrace/epoch
             for batch in self.dm.train_batches(epoch):
-                examples += len(batch["pos_ctx_indices"])
-                state, metrics = train_step(state, self.task.shard(batch))
+                examples += len(batch.get("pos_ctx_indices", batch["query_ids"]))
+                state, metrics = train_step(state, self.task.shard(batch), epoch_arr)
                 global_step += 1
                 if global_step % self.log_every == 0:
                     metrics = jax.device_get(metrics)

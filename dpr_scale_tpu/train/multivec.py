@@ -388,7 +388,7 @@ class MultiVecRetrieverTask:
                 epoch,
             )
 
-        def train_step(state: TrainState, batch, epoch):
+        def train_step(state: TrainState, batch, epoch=0):
             step_rng = jax.random.fold_in(state.dropout_rng, state.step)
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch, step_rng, epoch

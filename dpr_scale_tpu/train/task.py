@@ -115,7 +115,8 @@ class DenseRetrieverTask:
         if self._train_step is not None:
             return self._train_step
 
-        def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        def train_step(state: TrainState, batch, epoch=0) -> Tuple[TrainState, Dict]:
+            del epoch  # dense task has no epoch-dependent terms
             step_rng = jax.random.fold_in(state.dropout_rng, state.step)
             (loss, _scores), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
