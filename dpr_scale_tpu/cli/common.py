@@ -130,6 +130,7 @@ def build_task(
         k=t.get("k", 1),
         in_batch_negatives=t.get("in_batch_negatives", True),
         in_batch_eval=t.get("in_batch_eval", True),
+        encoder_family=t.model.get("family", "dense"),
         optimizer=optimizer,
         mesh=mesh,
     )

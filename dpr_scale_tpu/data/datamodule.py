@@ -68,6 +68,7 @@ class DenseRetrieverDataModule:
         drop_last: bool = True,
         seed: int = 0,
         prefetch_batches: int = 2,
+        contiguous_chunks: int = 0,
     ):
         self.tokenizer = tokenizer
         corpus = MemoryMappedDataset(corpus_path, header=True) if corpus_path else None
@@ -91,6 +92,7 @@ class DenseRetrieverDataModule:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.contiguous_chunks = contiguous_chunks
 
         def open_train(path):
             if path is None:
@@ -123,8 +125,22 @@ class DenseRetrieverDataModule:
         return prefetch(gen(), self.prefetch_batches)
 
     def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.default_rng(self.seed + epoch)
-        order = rng.permutation(len(self.train_dataset))
+        n = len(self.train_dataset)
+        if self.contiguous_chunks > 1:
+            # node-contiguous sampling for mmap page locality: shuffle
+            # WITHIN contiguous chunks only (parity:
+            # ContiguousDistributedSampler, reference utils/utils.py:31-80,
+            # seeded by seed+epoch+chunk)
+            parts = []
+            for c, rows in enumerate(
+                np.array_split(np.arange(n), self.contiguous_chunks)
+            ):
+                rng = np.random.default_rng(self.seed + epoch * 131 + c)
+                parts.append(rng.permutation(rows))
+            order = np.concatenate(parts)
+        else:
+            rng = np.random.default_rng(self.seed + epoch)
+            order = rng.permutation(n)
         return self._iter(self.train_dataset, order, self.batch_size, "train")
 
     def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:

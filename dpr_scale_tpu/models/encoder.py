@@ -50,6 +50,49 @@ class DenseEncoder(nn.Module):
         return pooled.astype(jnp.float32)
 
 
+class SpladeBiEncoder(nn.Module):
+    """SPLADE as a single-vector bi-encoder: the ``max log(1+relu(MLM))``
+    vocab vector (reference SPLADEEncoder, splade_model.py:26-32) exposed
+    through the same encode_query/encode_context API as BiEncoder, so the
+    dense contrastive task, corpus encoder, and MIPS engine work unchanged
+    (the "sparse" vector is a dense (B, V) tensor on TPU)."""
+
+    cfg: TransformerConfig
+    shared: bool = True
+
+    def setup(self):
+        from dpr_scale_tpu.models.multivec import MultiVecEncoder
+
+        self.context_encoder = MultiVecEncoder(
+            self.cfg, variant="splade", name="context_encoder"
+        )
+        if self.shared:
+            self.query_encoder = self.context_encoder
+        else:
+            self.query_encoder = MultiVecEncoder(
+                self.cfg, variant="splade", name="query_encoder"
+            )
+
+    def encode_query(self, input_ids, attention_mask=None, deterministic=True):
+        out = self.query_encoder(
+            input_ids, attention_mask, deterministic=deterministic
+        )
+        return out["splade_repr"]
+
+    def encode_context(self, input_ids, attention_mask=None, deterministic=True):
+        out = self.context_encoder(
+            input_ids, attention_mask, deterministic=deterministic
+        )
+        return out["splade_repr"]
+
+    def __call__(
+        self, query_ids, query_mask, contexts_ids, contexts_mask, deterministic=True
+    ):
+        q = self.encode_query(query_ids, query_mask, deterministic)
+        c = self.encode_context(contexts_ids, contexts_mask, deterministic)
+        return q, c
+
+
 class BiEncoder(nn.Module):
     """Query + context towers, optionally weight-shared.
 

@@ -48,13 +48,19 @@ class DenseRetrieverTask:
     k: int = 1  # accuracy@k
     in_batch_negatives: bool = True
     in_batch_eval: bool = True
+    encoder_family: str = "dense"  # "dense" (CLS BiEncoder) | "splade"
     optimizer: Optional[optax.GradientTransformation] = None
     mesh: Optional[Any] = None
 
     def __post_init__(self):
-        self.model = BiEncoder(
-            self.cfg, projection_dim=self.projection_dim, shared=self.shared_model
-        )
+        if self.encoder_family == "splade":
+            from dpr_scale_tpu.models.encoder import SpladeBiEncoder
+
+            self.model = SpladeBiEncoder(self.cfg, shared=self.shared_model)
+        else:
+            self.model = BiEncoder(
+                self.cfg, projection_dim=self.projection_dim, shared=self.shared_model
+            )
         if self.optimizer is None:
             self.optimizer = optax.adamw(1e-5)
         if self.mesh is None:
