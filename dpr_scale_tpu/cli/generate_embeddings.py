@@ -6,6 +6,12 @@ Usage:
         datamodule.passages_path=psgs_w100.tsv \
         task.ctx_embeddings_dir=/out/embs \
         task.shard=0 task.num_shards=1
+
+Setting ``task.exported_encoder_path`` instead of a checkpoint drives the
+pipeline from an AOT-exported StableHLO encoder (the reference's
+TorchScript-checkpoint path, GenerateEmbeddingsJitTask,
+dpr_scale/task/dpr_jit_eval_task.py); ``task.quantized_checkpoint_path``
+loads int8 weight-only params.
 """
 from __future__ import annotations
 
@@ -49,7 +55,18 @@ def main(argv=None):
 
     tokenizer = build_tokenizer(cfg)
     task = build_task(cfg)
-    params = _init_params(task, tokenizer, cfg.task.get("checkpoint_path"))
+    exported = cfg.task.get("exported_encoder_path")
+    quantized = cfg.task.get("quantized_checkpoint_path")
+    if exported:
+        params = None
+    elif quantized:
+        from dpr_scale_tpu.utils.export import load_quantized
+
+        params = _init_params(task, tokenizer, None)
+        params = load_quantized(quantized)
+        print(f"Loaded int8-quantized params from {quantized}")
+    else:
+        params = _init_params(task, tokenizer, cfg.task.get("checkpoint_path"))
     out_dir = cfg.task.get("ctx_embeddings_dir", "embeddings")
     fmt = cfg.task.get("embeddings_format", "pickle")
 
@@ -68,7 +85,11 @@ def main(argv=None):
     )
     shard = cfg.task.get("shard", 0)
     num_shards = cfg.task.get("num_shards", 1)
-    encoder = CorpusEncoder(task.model, params, task.mesh)
+    if exported:
+        encoder = CorpusEncoder.from_exported(exported, task.mesh)
+        print(f"Using exported encoder from {exported}")
+    else:
+        encoder = CorpusEncoder(task.model, params, task.mesh)
     rows = contiguous_shard(len(dm), shard, num_shards)
     path = encoder.encode_to_dir(
         dm.batches(shard, num_shards),

@@ -76,6 +76,7 @@ def main(argv=None):
         log_every=tr.get("log_every", 10),
         eval_every_steps=tr.get("eval_every_steps"),
         logger=logger,
+        profile_dir=tr.get("profile_dir"),
     )
 
     # init from an example batch (shapes are static per config)

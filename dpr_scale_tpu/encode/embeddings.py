@@ -87,6 +87,8 @@ class CorpusEncoder:
     def __init__(self, model, params, mesh, use_query_tower: bool = False):
         self.mesh = mesh
         self.params = params
+        if model is None:
+            return  # from_exported fills _encode
         method = "encode_query" if use_query_tower else "encode_context"
 
         def encode(params, input_ids, attention_mask):
@@ -99,6 +101,19 @@ class CorpusEncoder:
             )
 
         self._encode = jax.jit(encode)
+
+    @classmethod
+    def from_exported(cls, exported_path: str, mesh) -> "CorpusEncoder":
+        """Drive encoding from an AOT-exported StableHLO encoder (the
+        reference's jit-checkpoint path, dpr_jit_eval_task.py). The
+        exported fn has fixed batch/seq shapes; batches must match."""
+        from dpr_scale_tpu.utils.export import load_exported_encoder
+
+        call, params, meta = load_exported_encoder(exported_path)
+        self = cls(None, params, mesh)
+        self._encode = lambda p, ids, mask: call(p, ids, mask)
+        self.exported_meta = meta
+        return self
 
     def encode_batches(
         self, batches: Iterator[Dict[str, np.ndarray]]

@@ -25,6 +25,7 @@ class Trainer:
         log_every: int = 10,
         eval_every_steps: Optional[int] = None,
         logger: Optional[MetricLogger] = None,
+        profile_dir: Optional[str] = None,
     ):
         self.task = task
         self.dm = datamodule
@@ -34,6 +35,7 @@ class Trainer:
         self.log_every = log_every
         self.eval_every_steps = eval_every_steps
         self.log = logger or MetricLogger()
+        self.profile_dir = profile_dir
 
     def total_steps(self) -> int:
         if self.max_steps:
@@ -41,6 +43,12 @@ class Trainer:
         return self.dm.steps_per_epoch() * self.max_epochs
 
     def fit(self, state: TrainState) -> TrainState:
+        from dpr_scale_tpu.utils.profiling import trace_if
+
+        with trace_if(self.profile_dir):
+            return self._fit(state)
+
+    def _fit(self, state: TrainState) -> TrainState:
         train_step = self.task.make_train_step()
         global_step = int(state.step)
         t0 = time.time()
