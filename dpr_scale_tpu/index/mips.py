@@ -207,20 +207,19 @@ class MipsIndex:
             nch, ch = self._chunk_view(emb_l)
             qd = q.astype(self.dtype)
 
-            def body(cnt, xs):
-                c, v = xs
+            def body(cnt, c):
                 s = jnp.dot(qd, c.T, preferred_element_type=jnp.float32)
-                s = jnp.where(v[:, 0][None, :], s, NEG_INF)
                 return cnt + jnp.sum(s > thr[:, None], axis=1), None
 
             cnt0 = jax.lax.pcast(
                 jnp.zeros((q.shape[0],), jnp.int32), ("data",), to="varying"
             )
-            cnt, _ = jax.lax.scan(
-                body,
-                cnt0,
-                (emb_l.reshape(nch, ch, -1), valid_l.reshape(nch, ch, -1)),
-            )
+            cnt, _ = jax.lax.scan(body, cnt0, emb_l.reshape(nch, ch, -1))
+            # padding rows are zero vectors scoring exactly 0: instead of
+            # masking every chunk (an extra HBM sweep each), subtract their
+            # analytic contribution — each pad row counts iff 0 > thr
+            n_pad = emb_l.shape[0] - jnp.sum(valid_l.astype(jnp.int32))
+            cnt = cnt - jnp.where(thr < 0.0, n_pad, 0)
             return jax.lax.psum(cnt, "data")
 
         from jax import shard_map
@@ -281,12 +280,12 @@ class MipsIndex:
             idx = np.nonzero(fails.reshape(-1))[0]
             flat_q = np.asarray(queries_batches).reshape(-1, D)
             total = 0.0
-            for lo in range(0, len(idx), 64):
-                part = idx[lo : lo + 64]
-                pad_b = max(8, 1 << (len(part) - 1).bit_length())
+            for lo in range(0, len(idx), 256):
+                part = idx[lo : lo + 256]
+                pad_b = max(64, 1 << (len(part) - 1).bit_length())
                 fq = np.zeros((pad_b, D), np.float32)
                 fq[: len(part)] = flat_q[part]
-                se, _ie = self._exact_iter_topk(emb, valid, jnp.asarray(fq), k)
+                se, _ie = self._topk_block(emb, valid, jnp.asarray(fq), k, False)
                 total += float(se[0, 0])
             return total
 
@@ -294,11 +293,9 @@ class MipsIndex:
         iters, B, D = queries_batches.shape
         fails_warm = np.asarray(fails)
         if fails_warm.any():
-            # pre-compile the fallback so phase 2 isn't billed compile time
-            # (same batches re-run below => same failures)
-            warm_mask = np.zeros_like(fails_warm)
-            warm_mask.flat[0] = True
-            fallback_device(warm_mask)
+            # pre-compile the fallback at the exact shapes phase 2 will use
+            # (same batches re-run below => identical failures)
+            fallback_device(fails_warm)
 
         t0 = time.perf_counter()
         csum, fails = run(qs, emb, valid, k)
@@ -373,13 +370,13 @@ class MipsIndex:
         reused across calls."""
         queries = np.asarray(queries)
         out_s, out_i = [], []
-        for lo in range(0, len(fail_idx), 64):
-            idx = fail_idx[lo : lo + 64]
+        for lo in range(0, len(fail_idx), 256):
+            idx = fail_idx[lo : lo + 256]
             nfail = len(idx)
-            pad_b = max(8, 1 << (nfail - 1).bit_length())  # pow2, reuse jits
+            pad_b = max(64, 1 << (nfail - 1).bit_length())  # pow2, reuse jits
             fq = np.zeros((pad_b, queries.shape[1]), np.float32)
             fq[:nfail] = queries[idx]
-            se, ie = self._exact_iter_topk(emb, valid, jnp.asarray(fq), k)
+            se, ie = self._topk_block(emb, valid, jnp.asarray(fq), k, False)
             out_s.append(np.asarray(se)[:nfail])
             out_i.append(np.asarray(ie)[:nfail])
         return np.concatenate(out_s), np.concatenate(out_i)
