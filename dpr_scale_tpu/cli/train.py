@@ -35,6 +35,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = load_config(args.config, args.overrides)
 
+    from dpr_scale_tpu.parallel.launch import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        print(
+            f"Initialized multi-host: process {jax.process_index()} of "
+            f"{jax.process_count()}"
+        )
+
     tokenizer = build_tokenizer(cfg)
     dm = build_datamodule(cfg, tokenizer)
 
