@@ -21,7 +21,7 @@ import numpy as np
 CORPUS_ROWS = 2_097_152
 DIM = 768
 QUERY_BATCH = 512
-ITERS = 8
+ITERS = 32  # enough batches to amortize the tunnel's fixed dispatch cost
 K = 100
 NORTH_STAR_ROWSCORES_PER_CHIP = 10_000 * 21_000_000 / 8
 
