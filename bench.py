@@ -29,6 +29,14 @@ NORTH_STAR_ROWSCORES_PER_CHIP = 10_000 * 21_000_000 / 8
 def main():
     import sys
 
+    # persistent compilation cache: repeat bench runs skip the ~1-2 min
+    # XLA compiles (safe no-op where unsupported)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from dpr_scale_tpu.index import MipsIndex
     from dpr_scale_tpu.parallel import get_mesh
 

@@ -183,7 +183,16 @@ class DenseRetrieverTask:
         return shard_batch(batch, self.mesh)
 
     def run_eval(self, state: TrainState, batches) -> Dict[str, float]:
-        """Aggregate epoch metrics (reference _eval_epoch_end, :248-310)."""
+        """Aggregate epoch metrics (reference _eval_epoch_end, :248-310).
+
+        ``in_batch_eval=True``: per-batch scoring, summed counts.
+        ``in_batch_eval=False``: collate every eval context across batches
+        and rank each query against ALL of them (reference :264-302; the
+        reference's cross-rank all_gather is unnecessary here — the host
+        already sees the global batch in SPMD).
+        """
+        if not self.in_batch_eval:
+            return self._run_eval_full(state, batches)
         step = self.make_eval_step()
         totals: Dict[str, float] = {}
         n_batches = 0
@@ -201,5 +210,56 @@ class DenseRetrieverTask:
             f"accuracy@{self.k}": totals["hits_at_k"] / nq,
             "ctx_count": totals["ctx_count"] / n_batches,
             "loss": totals["loss_sum"] / nq,
+            "query_count": nq,
+        }
+
+    def _run_eval_full(self, state: TrainState, batches) -> Dict[str, float]:
+        import numpy as np
+
+        from dpr_scale_tpu.train.loss import NEG_INF
+
+        encode = jax.jit(
+            lambda params, batch: self.model.apply(
+                {"params": params},
+                batch["query_ids"],
+                batch["query_mask"],
+                batch["contexts_ids"],
+                batch["contexts_mask"],
+                deterministic=True,
+            )
+        )
+        q_parts, c_parts, labels, masks = [], [], [], []
+        offset = 0
+        for batch in batches:
+            q, c = encode(state.params, self.shard(batch))
+            q_parts.append(np.asarray(q))
+            c_parts.append(np.asarray(c))
+            labels.append(np.asarray(batch["pos_ctx_indices"]) + offset)
+            masks.append(np.asarray(batch["ctx_mask"]))
+            offset += c.shape[0]
+        if not q_parts:
+            return {}
+        q_all = jnp.asarray(np.concatenate(q_parts))
+        c_all = jnp.asarray(np.concatenate(c_parts))
+        lab = jnp.asarray(np.concatenate(labels))
+        mask = jnp.asarray(np.concatenate(masks))
+
+        @jax.jit
+        def score_all(q_all, c_all, lab, mask):
+            loss, scores = contrastive_loss(
+                q_all, c_all, lab, mask, self.softmax_temperature, True
+            )
+            metrics = rank_metrics(scores, lab, self.k)
+            metrics["loss"] = loss
+            return metrics
+
+        m = jax.device_get(score_all(q_all, c_all, lab, mask))
+        nq = float(m["query_count"])
+        return {
+            "avg_rank": float(m["rank_sum"]) / nq,
+            "mrr": float(m["mrr_sum"]) / nq,
+            f"accuracy@{self.k}": float(m["hits_at_k"]) / nq,
+            "ctx_count": float(c_all.shape[0]) - float(np.concatenate(masks).sum()),
+            "loss": float(m["loss"]),
             "query_count": nq,
         }

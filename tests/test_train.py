@@ -213,3 +213,19 @@ def test_eval_metrics_aggregation():
     assert 0.0 <= result["mrr"] <= 1.0
     assert 0.0 <= result["accuracy@1"] <= 1.0
     assert result["ctx_count"] <= 8
+
+
+def test_full_corpus_eval_mode():
+    """in_batch_eval=False: queries ranked against ALL eval contexts
+    (reference _eval_epoch_end :264-302)."""
+    task = _tiny_task(in_batch_eval=False)
+    batches = [_fake_batch(4, 2, seed=s) for s in range(3)]
+    state = task.init_state(jax.random.PRNGKey(0), batches[0])
+    result = task.run_eval(state, batches)
+    assert result["query_count"] == 12
+    # ranks run over the 24-context global pool, not per-batch 8
+    assert 1.0 <= result["avg_rank"] <= 24.0
+    in_batch = _tiny_task(in_batch_eval=True)
+    r2 = in_batch.run_eval(state, [_fake_batch(4, 2, seed=s) for s in range(3)])
+    # global pool has more negatives -> avg rank can only get worse or equal
+    assert result["avg_rank"] >= r2["avg_rank"] - 1e-6
