@@ -171,4 +171,6 @@ def build_datamodule(cfg: Config, tokenizer: HFTokenizer):
         rel_sample=d.get("rel_sample", False),
         drop_last=d.get("drop_last", True),
         seed=d.get("seed", 0),
+        prefetch_batches=d.get("prefetch_batches", 2),
+        contiguous_chunks=d.get("contiguous_chunks", 0),
     )

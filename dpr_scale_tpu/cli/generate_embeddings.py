@@ -62,7 +62,6 @@ def main(argv=None):
     elif quantized:
         from dpr_scale_tpu.utils.export import load_quantized
 
-        params = _init_params(task, tokenizer, None)
         params = load_quantized(quantized)
         print(f"Loaded int8-quantized params from {quantized}")
     else:

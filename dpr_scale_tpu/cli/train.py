@@ -51,6 +51,8 @@ def main(argv=None):
     max_steps = tr.get("max_steps")
     if max_steps:
         total_steps = max_steps
+    elif args.test_only:
+        total_steps = 1  # schedule unused; avoids requiring a train set
     else:
         total_steps = dm.steps_per_epoch() * max_epochs
     print(
@@ -87,8 +89,9 @@ def main(argv=None):
         profile_dir=tr.get("profile_dir"),
     )
 
-    # init from an example batch (shapes are static per config)
-    example = next(iter(dm.train_batches(0) if not args.test_only else dm.test_batches()))
+    # init from an example batch (shapes are static per config); built
+    # synchronously so no prefetch worker is left abandoned
+    example = dm.example_batch("test" if args.test_only else "train")
     state = task.init_state(jax.random.PRNGKey(cfg.get("seed", 0)), example)
 
     pretrained = cfg.task.get("pretrained_checkpoint_path")

@@ -124,6 +124,14 @@ class DenseRetrieverDataModule:
 
         return prefetch(gen(), self.prefetch_batches)
 
+    def example_batch(self, stage: str = "train") -> Dict[str, np.ndarray]:
+        """One synchronously built batch (for model init) — avoids spinning
+        up a prefetch thread whose iterator would be abandoned."""
+        dataset = self.train_dataset or self.test_dataset or self.val_dataset
+        bs = self.batch_size if dataset is self.train_dataset else self.test_batch_size
+        rows = [dataset[i % len(dataset)] for i in range(bs)]
+        return self.batcher(self.builder.build_batch(rows, stage))
+
     def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.train_dataset)
         if self.contiguous_chunks > 1:
@@ -199,6 +207,11 @@ class DistillDataModule:
                 yield self.batcher(self.builder.build_batch(rows, stage))
 
         return prefetch(gen(), self.prefetch_batches)
+
+    def example_batch(self, stage: str = "train"):
+        dataset = self.train_dataset or self.test_dataset or self.val_dataset
+        rows = [dataset[i % len(dataset)] for i in range(self.batch_size)]
+        return self.batcher(self.builder.build_batch(rows, stage))
 
     def train_batches(self, epoch: int = 0):
         rng = np.random.default_rng(self.seed + epoch)

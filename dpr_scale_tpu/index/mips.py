@@ -117,7 +117,12 @@ class MipsIndex:
 
     def add_device(self, emb_dev: jax.Array, n_valid: Optional[int] = None) -> None:
         """Add an already device-resident, row-sharded (N_pad, D) block
-        (N_pad a multiple of devices*128; rows beyond ``n_valid`` ignored)."""
+        (N_pad a multiple of devices*128; rows beyond ``n_valid`` ignored).
+
+        Pad rows are zeroed on device — the auto-mode exactness check's
+        analytic pad correction (count pass) relies on pad scores being
+        exactly 0.
+        """
         n_pad, d = emb_dev.shape
         if self._dim is None:
             self._dim = d
@@ -126,6 +131,10 @@ class MipsIndex:
         valid = np.zeros((n_pad, 1), dtype=np.bool_)
         valid[:n] = True
         valid_dev = jax.device_put(jnp.asarray(valid), row_sharded)
+        if n < n_pad:
+            emb_dev = jax.jit(
+                lambda e, v: e * v.astype(e.dtype), out_shardings=row_sharded
+            )(emb_dev, valid_dev)
         self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
         self._total_rows += n
 
@@ -237,12 +246,12 @@ class MipsIndex:
 
     def _verified_search_device(self, emb, valid, q, k):
         """The full auto pipeline as one traceable program: approx top-k +
-        exactness verification flag (no host round trips)."""
+        per-query exactness-failure mask (no host round trips)."""
         s, i = self._topk_block_impl(emb, valid, q, k, True)
         tau = s[:, k - 1]
         cnt = self._count_above_impl(emb, valid, q, tau)
         found_gt = jnp.sum(s > tau[:, None], axis=1)
-        return s, i, jnp.all(cnt == found_gt)
+        return s, i, cnt != found_gt
 
     def benchmark(self, queries_batches: np.ndarray, k: int = 100) -> dict:
         """On-device throughput of the verified-exact search pipeline.
@@ -261,17 +270,18 @@ class MipsIndex:
         @functools.partial(jax.jit, static_argnums=(3,))
         def run(qs, emb, valid, k):
             def body(_, q):
-                s, i = self._topk_block_impl(emb, valid, q, k, True)
-                tau = s[:, k - 1]
-                cnt = self._count_above_impl(emb, valid, q, tau)
-                found_gt = jnp.sum(s > tau[:, None], axis=1)
-                return None, (s[:, 0].sum() + jnp.sum(i[:, 0]), cnt != found_gt)
+                s, i, fail = self._verified_search_device(emb, valid, q, k)
+                return None, (s[:, 0].sum() + jnp.sum(i[:, 0]), fail)
 
             _, (csums, fails) = jax.lax.scan(body, None, qs)
             # pack fail bits 32x: in tunneled deployments the host fetch is
             # the bottleneck (axon relay: ~0.1 MB/s down), so the
             # (iters, B) bool mask travels as uint32 words
-            bits = fails.reshape(-1, 32).astype(jnp.uint32)
+            flat = fails.reshape(-1)
+            pad = (-flat.shape[0]) % 32
+            if pad:
+                flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+            bits = flat.reshape(-1, 32).astype(jnp.uint32)
             packed = jnp.sum(
                 bits << jnp.arange(32, dtype=jnp.uint32)[None, :],
                 axis=1,
@@ -298,10 +308,12 @@ class MipsIndex:
                 total += float(se[0, 0])
             return total
 
+        n_queries_total = queries_batches.shape[0] * queries_batches.shape[1]
+
         def unpack(packed):
             words = np.asarray(packed)
             bits = (words[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
-            return bits.reshape(-1).astype(bool)
+            return bits.reshape(-1)[:n_queries_total].astype(bool)
 
         csum, packed = run(qs, emb, valid, k)  # compile + warmup
         iters, B, D = queries_batches.shape
@@ -330,53 +342,6 @@ class MipsIndex:
         }
 
     # ------------------------------------------------------------------ #
-
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _exact_iter_topk(self, emb, valid, queries, k):
-        """Sort-free exact top-k for a SMALL query batch: materialize the
-        per-device score row, then k rounds of argmax+mask (k sequential
-        HBM sweeps of a (B_small, C_local) buffer — cheap for B<=64, and a
-        far simpler program to compile than a sorting network)."""
-
-        def local(emb_l, valid_l, q):
-            s = jnp.dot(
-                q.astype(self.dtype), emb_l.T, preferred_element_type=jnp.float32
-            )
-            s = jnp.where(valid_l[:, 0][None, :], s, NEG_INF)
-            B = q.shape[0]
-            rows = jnp.arange(B)
-
-            def body(_j, carry):
-                vals, idxs, s = carry
-                top = jnp.argmax(s, axis=1)  # (B,)
-                v = s[rows, top]
-                vals = jnp.roll(vals, -1, axis=1).at[:, -1].set(v)
-                idxs = jnp.roll(idxs, -1, axis=1).at[:, -1].set(top)
-                s = s.at[rows, top].set(NEG_INF)
-                return vals, idxs, s
-
-            buf = jax.lax.pcast(
-                (jnp.full((B, k), NEG_INF, jnp.float32), jnp.zeros((B, k), jnp.int32)),
-                ("data",),
-                to="varying",
-            )
-            init = (buf[0], buf[1], s)
-            # after k roll+append steps the buffer reads [v1..vk] descending
-            vals, idxs, _ = jax.lax.fori_loop(0, k, body, init)
-            shard = jax.lax.axis_index("data")
-            return vals, idxs + shard * emb_l.shape[0]
-
-        from jax import shard_map
-
-        s, i = shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(P("data", None), P("data", None), P(None, None)),
-            out_specs=(P(None, "data"), P(None, "data")),
-        )(emb, valid, queries)
-        fs, fi_pos = jax.lax.top_k(s, k)
-        fi = jnp.take_along_axis(i, fi_pos, axis=1)
-        return fs, fi
 
     def _exact_fallback(self, emb, valid, queries, k, fail_idx):
         """Exact rescan for the handful of queries whose approx candidates

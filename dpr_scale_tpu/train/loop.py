@@ -36,6 +36,7 @@ class Trainer:
         self.eval_every_steps = eval_every_steps
         self.log = logger or MetricLogger()
         self.profile_dir = profile_dir
+        self._last_validated_step = -1
 
     def total_steps(self) -> int:
         if self.max_steps:
@@ -82,6 +83,12 @@ class Trainer:
         return state
 
     def _validate(self, state: TrainState, step: int) -> Dict[str, float]:
+        if step == self._last_validated_step:
+            # eval_every_steps landing on an epoch boundary (or max_steps)
+            # would otherwise validate AND checkpoint the same step twice —
+            # orbax rejects duplicate step saves
+            return {}
+        self._last_validated_step = step
         metrics = self.task.run_eval(state, self.dm.val_batches())
         if metrics:
             self.log.scalars(step, {f"valid_{k}": v for k, v in metrics.items()})

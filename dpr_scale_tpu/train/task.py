@@ -213,13 +213,15 @@ class DenseRetrieverTask:
             "query_count": nq,
         }
 
-    def _run_eval_full(self, state: TrainState, batches) -> Dict[str, float]:
-        import numpy as np
+    def _make_full_eval_fns(self):
+        """Cached jitted programs for full-corpus eval (rebuilding them per
+        validation would recompile the encoder every time)."""
+        if getattr(self, "_full_eval_fns", None) is not None:
+            return self._full_eval_fns
 
-        from dpr_scale_tpu.train.loss import NEG_INF
-
-        encode = jax.jit(
-            lambda params, batch: self.model.apply(
+        @jax.jit
+        def encode(params, batch):
+            return self.model.apply(
                 {"params": params},
                 batch["query_ids"],
                 batch["query_mask"],
@@ -227,7 +229,23 @@ class DenseRetrieverTask:
                 batch["contexts_mask"],
                 deterministic=True,
             )
-        )
+
+        @jax.jit
+        def score_all(q_all, c_all, lab, mask):
+            loss, scores = contrastive_loss(
+                q_all, c_all, lab, mask, self.softmax_temperature, True
+            )
+            metrics = rank_metrics(scores, lab, self.k)
+            metrics["loss"] = loss
+            return metrics
+
+        self._full_eval_fns = (encode, score_all)
+        return self._full_eval_fns
+
+    def _run_eval_full(self, state: TrainState, batches) -> Dict[str, float]:
+        import numpy as np
+
+        encode, score_all = self._make_full_eval_fns()
         q_parts, c_parts, labels, masks = [], [], [], []
         offset = 0
         for batch in batches:
@@ -243,16 +261,6 @@ class DenseRetrieverTask:
         c_all = jnp.asarray(np.concatenate(c_parts))
         lab = jnp.asarray(np.concatenate(labels))
         mask = jnp.asarray(np.concatenate(masks))
-
-        @jax.jit
-        def score_all(q_all, c_all, lab, mask):
-            loss, scores = contrastive_loss(
-                q_all, c_all, lab, mask, self.softmax_temperature, True
-            )
-            metrics = rank_metrics(scores, lab, self.k)
-            metrics["loss"] = loss
-            return metrics
-
         m = jax.device_get(score_all(q_all, c_all, lab, mask))
         nq = float(m["query_count"])
         return {

@@ -5,6 +5,11 @@ The reference's input pipeline is a torch DataLoader pinned to
 dpr_scale/datamodule/dpr.py:292) — collate runs serially with the train
 loop. Here host-side assembly (mmap reads + Rust tokenization, which
 releases the GIL) overlaps device steps via a small queue.
+
+The iterator supports early abandonment: dropping it (or calling
+``close()``) signals the worker to stop instead of leaving a thread
+blocked on a full queue — important because producers share host state
+(e.g. the example builder's RNG) with the next epoch's iterator.
 """
 from __future__ import annotations
 
@@ -17,25 +22,61 @@ T = TypeVar("T")
 _SENTINEL = object()
 
 
-def prefetch(iterable: Iterable[T], buffer_size: int = 2) -> Iterator[T]:
-    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
-    err: list = []
+class _Prefetcher:
+    def __init__(self, iterable: Iterable[T], buffer_size: int):
+        self._q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+        self._cancel = threading.Event()
+        self._err: list = []
+        self._thread = threading.Thread(
+            target=self._worker, args=(iterable,), daemon=True
+        )
+        self._thread.start()
 
-    def worker():
+    def _worker(self, iterable):
         try:
             for item in iterable:
-                q.put(item)
+                while not self._cancel.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._cancel.is_set():
+                    return
         except BaseException as e:  # propagate into consumer
-            err.append(e)
+            self._err.append(e)
         finally:
-            q.put(_SENTINEL)
+            try:
+                self._q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass  # consumer gone; cancel flag ends everything
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    def close(self):
+        self._cancel.set()
+
+    def __del__(self):
+        self.close()
+
+    def __iter__(self) -> Iterator[T]:
+        return self
+
+    def __next__(self) -> T:
+        while True:
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    if self._err:
+                        raise self._err[0]
+                    raise StopIteration
+                continue
+            if item is _SENTINEL:
+                self.close()
+                if self._err:
+                    raise self._err[0]
+                raise StopIteration
+            return item
+
+
+def prefetch(iterable: Iterable[T], buffer_size: int = 2) -> Iterator[T]:
+    return _Prefetcher(iterable, buffer_size)
