@@ -173,4 +173,6 @@ def build_datamodule(cfg: Config, tokenizer: HFTokenizer):
         seed=d.get("seed", 0),
         prefetch_batches=d.get("prefetch_batches", 2),
         contiguous_chunks=d.get("contiguous_chunks", 0),
+        query_max_seq_len=d.get("query_max_seq_len"),
+        ctx_max_seq_len=d.get("ctx_max_seq_len"),
     )

@@ -69,6 +69,8 @@ class DenseRetrieverDataModule:
         seed: int = 0,
         prefetch_batches: int = 2,
         contiguous_chunks: int = 0,
+        query_max_seq_len: Optional[int] = None,
+        ctx_max_seq_len: Optional[int] = None,
     ):
         self.tokenizer = tokenizer
         corpus = MemoryMappedDataset(corpus_path, header=True) if corpus_path else None
@@ -85,7 +87,13 @@ class DenseRetrieverDataModule:
             corpus=corpus,
             seed=seed,
         )
-        self.batcher = DPRBatcher(tokenizer)
+        # shorter query padding (e.g. 32 tokens in the DRAGON recipes) cuts
+        # query-tower FLOPs without touching context length
+        self.batcher = DPRBatcher(
+            tokenizer,
+            query_max_seq_len=query_max_seq_len,
+            ctx_max_seq_len=ctx_max_seq_len,
+        )
         self.batch_size = batch_size
         self.val_batch_size = val_batch_size or batch_size
         self.test_batch_size = test_batch_size or self.val_batch_size
