@@ -102,7 +102,6 @@ void dpr_merge_topk(const float* scores, const int64_t* ids, int64_t nshards,
                     int64_t k, float* out_scores, int64_t* out_ids) {
   using Entry = std::pair<float, int64_t>;  // (score, flat index)
   std::priority_queue<Entry> heap;
-  std::vector<int64_t> cursor(nshards, 0);
   for (int64_t s = 0; s < nshards; ++s) {
     if (k > 0) heap.emplace(scores[s * k], s * k);
   }

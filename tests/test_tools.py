@@ -188,6 +188,12 @@ def test_prep_ccnews_ict(tmp_path):
     run_tool(
         "prep_ccnews_ict.py", "--file_path", str(src),
         "--output_dir_path", str(tmp_path), "--bfs", "--dev_pct", "0.0",
+        "--chunk_sents", "1",
     )
     brows = [json.loads(l) for l in open(tmp_path / "ccnews_bfs_train.jsonl")]
     assert len(brows) == 4
+    # BFS semantics (reference get_bfs_data): query from the FIRST chunk,
+    # positive from a later chunk
+    for r in brows:
+        assert r["question"].startswith("Alpha")
+        assert not r["positive_ctxs"][0]["text"].startswith("Alpha")

@@ -19,7 +19,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from tools._text import split_sentences
+from tools._text import iter_tsv_rows, split_sentences
 
 
 def main():
@@ -33,11 +33,9 @@ def main():
 
     rng = random.Random(args.seed)
     n = 0
-    with open(args.corpus_tsv_path) as fin, open(args.json_out_path, "w") as fout:
-        for i, line in enumerate(fin):
-            if i == 0 and line.startswith("id\t"):
-                continue
-            parts = line.rstrip("\n").split("\t")
+    with open(args.json_out_path, "w") as fout:
+        # docidx counts DATA rows from 0 whether or not a header exists
+        for docidx, parts in iter_tsv_rows(args.corpus_tsv_path):
             if len(parts) < 2:
                 continue
             sents = [
@@ -45,8 +43,6 @@ def main():
             ]
             if not sents:
                 continue
-            # docidx = corpus row (0-based, matching the corpus TSV order)
-            docidx = i - 1
             for s in rng.sample(sents, min(args.queries_per_doc, len(sents))):
                 fout.write(
                     json.dumps(

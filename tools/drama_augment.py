@@ -74,7 +74,14 @@ def make_backend(args) -> Callable[[List[str]], List[str]]:
                 check=True,
             )
             # one completion per line; literal "\n" escapes carry newlines
-            return [l.replace("\\n", "\n") for l in proc.stdout.splitlines()]
+            outs = [l.replace("\\n", "\n") for l in proc.stdout.splitlines()]
+            if len(outs) != len(prompts):
+                raise RuntimeError(
+                    f"command backend returned {len(outs)} completions for "
+                    f"{len(prompts)} prompts — completions must be exactly one "
+                    "line each (escape newlines as \\n)"
+                )
+            return outs
 
         return run
     raise ValueError(args.backend)
@@ -96,18 +103,19 @@ def parse_generation(text: str):
 
 def cmd_generate(args):
     backend = make_backend(args)
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from tools._text import iter_tsv_rows
+
     docids, prompts = [], []
-    with open(args.corpus_tsv) as f:
-        for i, line in enumerate(f):
-            if i == 0 and line.startswith("id\t"):
-                continue
-            row = (i - 1) if args.shard is not None else i
-            if args.num_shards > 1 and row % args.num_shards != args.shard:
-                continue
-            parts = line.rstrip("\n").split("\t")
-            docids.append(parts[0])
-            text = " ".join(parts[1].split())
-            prompts.append(f"{SYSTEM_PROMPT}\n\nText: {text}")
+    for row, parts in iter_tsv_rows(args.corpus_tsv):
+        if args.num_shards > 1 and row % args.num_shards != args.shard:
+            continue
+        docids.append(parts[0])
+        text = " ".join(parts[1].split())
+        prompts.append(f"{SYSTEM_PROMPT}\n\nText: {text}")
     outputs = backend(prompts)
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, f"{args.shard}.jsonl")
@@ -135,8 +143,16 @@ def cmd_rerank(args):
     with open(args.output, "w") as f:
         for row, text in zip(rows, outputs):
             try:
-                order = [int(x) - 1 for x in text.replace(" ", "").split(",")]
-                row["ctxs"] = [row["ctxs"][i] for i in order if 0 <= i < len(row["ctxs"])]
+                mentioned = [int(x) - 1 for x in text.replace(" ", "").split(",")]
+                seen = set()
+                order = []
+                for i in mentioned:  # dedupe repeated indices
+                    if 0 <= i < len(row["ctxs"]) and i not in seen:
+                        seen.add(i)
+                        order.append(i)
+                # unmentioned passages keep their original relative order
+                order.extend(i for i in range(len(row["ctxs"])) if i not in seen)
+                row["ctxs"] = [row["ctxs"][i] for i in order]
             except ValueError:
                 pass  # keep original order on unparseable output
             f.write(json.dumps(row, ensure_ascii=False) + "\n")

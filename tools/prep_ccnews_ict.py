@@ -3,12 +3,13 @@
 
 Parity: reference dpr_scale/utils/prep_ccnews.py — news articles (JSONL
 with ``text``/``title`` or ``maintext``) become ICT pairs: a random
-sentence is the query, surrounding sentences the positive; ``--bfs`` keeps
-the first sentences as the passage instead (the BFS variant).
+sentence is the query, the remaining sentences the positive. ``--bfs``
+(body-first-sentence variant, reference get_bfs_data :83-93): the query is
+a random sentence of the FIRST chunk, the positive is a random LATER chunk.
 
 Usage:
     python tools/prep_ccnews_ict.py --file_path ccnews.jsonl \
-        --output_dir_path out/ [--bfs] [--max_sents 10]
+        --output_dir_path out/ [--bfs] [--max_sents 10] [--chunk_sents 5]
 """
 from __future__ import annotations
 
@@ -26,8 +27,12 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--file_path", required=True)
     parser.add_argument("--output_dir_path", required=True)
-    parser.add_argument("--bfs", action="store_true", help="first-sentences variant")
+    parser.add_argument(
+        "--bfs", action="store_true",
+        help="query from the first chunk, a random later chunk as positive",
+    )
     parser.add_argument("--max_sents", type=int, default=10)
+    parser.add_argument("--chunk_sents", type=int, default=5)
     parser.add_argument("--dev_pct", type=float, default=0.01)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--debug", action="store_true")
@@ -46,14 +51,22 @@ def main():
             row = json.loads(line)
             text = row.get("text") or row.get("maintext") or ""
             title = clean_field(row.get("title", ""))
-            sents = split_sentences(text)[: args.max_sents]
-            if len(sents) < 2:
-                continue
             if args.bfs:
-                pos = rng.randrange(1, len(sents))
-                query = sents[pos]
-                passage = " ".join(sents[:pos])
+                # reference get_bfs_data: chunk the article; the query is a
+                # random sentence of chunk 0, the positive a random chunk>=1
+                sents = split_sentences(text)
+                chunks = [
+                    sents[i : i + args.chunk_sents]
+                    for i in range(0, len(sents), args.chunk_sents)
+                ]
+                if len(chunks) <= 1 or not chunks[0]:
+                    continue
+                query = chunks[0][rng.randrange(len(chunks[0]))]
+                passage = " ".join(chunks[rng.randrange(1, len(chunks))])
             else:
+                sents = split_sentences(text)[: args.max_sents]
+                if len(sents) < 2:
+                    continue
                 pos = rng.randrange(len(sents))
                 query = sents[pos]
                 passage = " ".join(s for i, s in enumerate(sents) if i != pos)

@@ -19,7 +19,7 @@ import random
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from tools._text import clean_field, split_sentences
+from tools._text import clean_field, iter_tsv_rows, split_sentences
 
 
 def ict_example(passage: str, rng: random.Random):
@@ -46,13 +46,9 @@ def main():
     train_path = os.path.join(args.output_dir_path, "wiki_ict_train.jsonl")
     dev_path = os.path.join(args.output_dir_path, "wiki_ict_dev.jsonl")
     n = 0
-    with open(args.file_path) as fin, open(train_path, "w") as ftrain, open(
-        dev_path, "w"
-    ) as fdev:
-        for i, line in enumerate(fin):
-            if i == 0 and line.startswith("id\t"):
-                continue
-            parts = line.rstrip("\n").split("\t")
+    with open(train_path, "w") as ftrain, open(dev_path, "w") as fdev:
+        # csv-quoting-aware reader: psgs_w100 quotes its text fields
+        for _i, parts in iter_tsv_rows(args.file_path):
             if len(parts) < 3:
                 continue
             passage_id, text, title = parts[0], parts[1], clean_field(parts[2])

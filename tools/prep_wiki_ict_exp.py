@@ -20,7 +20,7 @@ import random
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from tools._text import clean_field, split_sentences
+from tools._text import clean_field, iter_tsv_rows, split_sentences
 
 
 def main():
@@ -35,16 +35,13 @@ def main():
 
     rng = random.Random(args.seed)
     doc_passages = collections.defaultdict(list)  # title -> [(text, id)]
-    with open(args.file_path) as fin:
-        for i, line in enumerate(fin):
-            if i == 0 and line.startswith("id\t"):
-                continue
-            parts = line.rstrip("\n").split("\t")
-            if len(parts) < 3:
-                continue
-            doc_passages[clean_field(parts[2])].append((parts[1], parts[0]))
-            if args.debug and i > 2000:
-                break
+    # csv-quoting-aware reader: psgs_w100 quotes its text fields
+    for i, parts in iter_tsv_rows(args.file_path):
+        if len(parts) < 3:
+            continue
+        doc_passages[clean_field(parts[2])].append((parts[1], parts[0]))
+        if args.debug and i > 2000:
+            break
 
     os.makedirs(args.output_dir_path, exist_ok=True)
     train_path = os.path.join(args.output_dir_path, "wiki_ict_exp_train.jsonl")

@@ -41,6 +41,14 @@ def main():
     parser.add_argument("--trec_format", action="store_true")
     args = parser.parse_args()
 
+    assert len(args.jsonl_dataset_paths) == len(args.output_filenames) == len(
+        args.query_emb_names
+    ), "dataset/query-emb/output lists must be the same length"
+    if args.weights is not None:
+        assert len(args.weights) == len(args.jsonl_dataset_paths), (
+            "--weights must give one weight per dataset"
+        )
+
     questions_list = []
     for path in args.jsonl_dataset_paths:
         ds = QueryTSVDataset(path) if args.trec_format else QueryCSVDataset(path)
