@@ -108,6 +108,42 @@ def test_checkpoint_manager_best_and_last(tmp_path):
     mgr.close()
 
 
+def test_trainer_no_duplicate_validation_at_epoch_boundary(
+    dpr10_jsonl, tiny_bert_dir, tmp_path
+):
+    """eval_every_steps landing on the epoch boundary must not validate and
+    checkpoint the same step twice (orbax rejects duplicate step saves)."""
+    import jax
+
+    from dpr_scale_tpu.cli.common import build_datamodule, build_task
+    from dpr_scale_tpu.config import load_config
+    from dpr_scale_tpu.data.tokenize import HFTokenizer
+    from dpr_scale_tpu.optim import make_optimizer
+    from dpr_scale_tpu.train.checkpoint import CheckpointManager
+    from dpr_scale_tpu.train.loop import Trainer
+
+    cfg = load_config(
+        os.path.join(CONF, "tiny_smoke.yaml"),
+        overrides=[
+            f"task.transform.model_path={tiny_bert_dir}",
+            f"datamodule.train_path={dpr10_jsonl}",
+            f"datamodule.val_path={dpr10_jsonl}",
+            "datamodule.batch_size=5",
+        ],
+    )
+    tok = HFTokenizer(tiny_bert_dir, max_seq_len=16)
+    dm = build_datamodule(cfg, tok)
+    task = build_task(cfg, optimizer=make_optimizer("adamw", 1e-3))
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    # steps_per_epoch == 2, eval_every_steps == 2 -> boundary collision
+    trainer = Trainer(
+        task, dm, checkpoint=ckpt, max_epochs=2, eval_every_steps=2, log_every=100
+    )
+    state = task.init_state(jax.random.PRNGKey(0), dm.example_batch())
+    trainer.fit(state)  # raises StepAlreadyExists without the dedupe guard
+    ckpt.close()
+
+
 def test_train_cli_smoke(dpr10_jsonl, tiny_bert_dir, tmp_path, capsys):
     """Full reference-main.py flow: fit 2 epochs + validate + checkpoint +
     test best ckpt, via the CLI entry, on the tiny fixture."""
