@@ -77,14 +77,21 @@ class MipsIndex:
         mesh: Mesh,
         dtype=jnp.bfloat16,
         method: str = "auto",
+        host_resident: bool = False,
     ):
+        """``host_resident=True`` keeps blocks in host RAM (pre-padded,
+        pre-converted) and streams each through a reusable device buffer at
+        search time — for corpora larger than total HBM (e.g. 21M x 768
+        bf16 = 32GB on chips with 16GB each). Per-block state (one upload
+        per block per search call) trades bandwidth for capacity."""
         assert method in ("auto", "approx", "exact_sort")
         self.mesh = mesh
         self.dtype = dtype
         self.method = method
+        self.host_resident = host_resident
         self.ndev = mesh.devices.size
-        self._blocks: List[Tuple[jax.Array, jax.Array, int, int]] = []
-        # (embeddings (C_pad, D) sharded, valid (C_pad, 1) sharded, n_valid, offset)
+        self._blocks: List[Tuple[object, object, int, int]] = []
+        # (embeddings (C_pad, D) sharded or host np, valid (C_pad, 1), n_valid, offset)
         self._total_rows = 0
         self._dim: Optional[int] = None
 
@@ -109,11 +116,25 @@ class MipsIndex:
         emb[:n] = embeddings
         valid = np.zeros((n_pad, 1), dtype=np.bool_)
         valid[:n] = True
+        if self.host_resident:
+            # pre-convert once on host; upload happens per search call
+            host_emb = np.asarray(jnp.asarray(emb, self.dtype))
+            self._blocks.append((host_emb, valid, n, self._total_rows))
+            self._total_rows += n
+            return
         row_sharded = NamedSharding(self.mesh, P("data", None))
         emb_dev = jax.device_put(jnp.asarray(emb, self.dtype), row_sharded)
         valid_dev = jax.device_put(jnp.asarray(valid), row_sharded)
         self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
         self._total_rows += n
+
+    def _materialize(self, emb, valid):
+        """Host-resident blocks stream through the device on demand."""
+        if isinstance(emb, np.ndarray):
+            row_sharded = NamedSharding(self.mesh, P("data", None))
+            emb = jax.device_put(jnp.asarray(emb), row_sharded)
+            valid = jax.device_put(jnp.asarray(valid), row_sharded)
+        return emb, valid
 
     def add_device(self, emb_dev: jax.Array, n_valid: Optional[int] = None) -> None:
         """Add an already device-resident, row-sharded (N_pad, D) block
@@ -392,7 +413,9 @@ class MipsIndex:
         for emb, valid, _n, offset in self._blocks:
             # never ask a block for more rows than every device holds
             k_block = min(k_eff, emb.shape[0] // self.ndev)
-            s, i = self._search_block(emb, valid, q, k_block)
+            emb_d, valid_d = self._materialize(emb, valid)
+            s, i = self._search_block(emb_d, valid_d, q, k_block)
+            del emb_d, valid_d  # host-resident mode: free HBM before next block
             i = i.astype(np.int64) + offset
             if k_block < k_eff:  # pad so merge shapes agree
                 pad = k_eff - k_block

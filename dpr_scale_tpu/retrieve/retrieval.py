@@ -19,14 +19,19 @@ from dpr_scale_tpu.retrieve.writers import write_dpr_json, write_trec_run
 
 
 def build_index(
-    ctx_embeddings_dir: str, mesh, dtype=None, max_block_rows: int = 2_000_000
+    ctx_embeddings_dir: str,
+    mesh,
+    dtype=None,
+    max_block_rows: int = 2_000_000,
+    host_resident: bool = False,
 ) -> MipsIndex:
     """Load every reps_* shard into one MipsIndex (global row order =
     shard order = corpus order, as the reference relies on,
-    run_retrieval.py:48-57)."""
+    run_retrieval.py:48-57). ``host_resident`` streams blocks from host
+    RAM for corpora larger than total HBM."""
     import jax.numpy as jnp
 
-    index = MipsIndex(mesh, dtype=dtype or jnp.bfloat16)
+    index = MipsIndex(mesh, dtype=dtype or jnp.bfloat16, host_resident=host_resident)
     shards = load_embedding_shards(ctx_embeddings_dir)
     if not shards:
         raise FileNotFoundError(f"no reps_* shards in {ctx_embeddings_dir}")
@@ -49,10 +54,11 @@ def retrieve(
     query_batch: int = 512,
     ignore_identical_ids: bool = False,
     index: Optional[MipsIndex] = None,
+    host_resident: bool = False,
 ) -> List[List[Dict]]:
     """Returns per-question context lists; optionally writes output files."""
     if index is None:
-        index = build_index(ctx_embeddings_dir, mesh)
+        index = build_index(ctx_embeddings_dir, mesh, host_resident=host_resident)
     passages = CSVDataset(passages_path)
 
     all_scores, all_indices = [], []

@@ -88,6 +88,24 @@ def test_mips_verification_counts():
     np.testing.assert_array_equal(cnt, true_cnt)
 
 
+def test_mips_host_resident_matches_device():
+    """Host-resident streaming blocks (for corpora > total HBM) return the
+    same results as device-resident blocks."""
+    rng = np.random.default_rng(5)
+    blocks = [rng.normal(size=(n, 16)).astype(np.float32) for n in (400, 300)]
+    queries = rng.normal(size=(6, 16)).astype(np.float32)
+    dev = MipsIndex(get_mesh(8), dtype=jnp.float32)
+    host = MipsIndex(get_mesh(8), dtype=jnp.float32, host_resident=True)
+    for b in blocks:
+        dev.add(b)
+        host.add(b)
+    assert isinstance(host._blocks[0][0], np.ndarray)  # stayed on host
+    sd, idd = dev.search(queries, k=15)
+    sh, ih = host.search(queries, k=15)
+    np.testing.assert_allclose(sd, sh, rtol=1e-5)
+    np.testing.assert_array_equal(idd, ih)
+
+
 def test_mips_k_larger_than_corpus():
     rng = np.random.default_rng(2)
     corpus = rng.normal(size=(10, 8)).astype(np.float32)
