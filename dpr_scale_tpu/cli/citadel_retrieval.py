@@ -47,6 +47,14 @@ def main(argv=None):
         quantizer=cfg.task.get("quantizer"),
     )
     print(f"Loaded inverted index: {index.stats()}")
+    if cfg.task.get("device_index", False):
+        # TPU-native bucketed search (the reference's `cuda`/IVFGPUIndex
+        # switch, citadel_retrieval_task.py:56-60)
+        from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
+
+        index = DeviceExpertIndex.from_host_index(index)
+        index.latency = {}
+        print("Using device-resident expert index")
 
     dm = QueriesDataModule(
         tokenizer,

@@ -1,0 +1,209 @@
+"""Device-resident CITADEL/COIL inverted-index search.
+
+TPU-native layout for the posting lists of
+:class:`dpr_scale_tpu.index.inverted.InvertedExpertIndex`:
+
+  * experts are grouped into LENGTH BUCKETS (posting counts padded to the
+    next bucket size), giving static shapes per bucket:
+    ``vecs[b]: (experts_b, L_b, D)`` bf16, ``run_id[b]: (experts_b, L_b)``
+    (per-expert doc-run segmentation, postings sorted by doc), and
+    ``run_doc[b]: (experts_b, L_b)`` (the doc id of each run, -1 pad);
+  * a query's routed (expert, weighted-vector) entries are grouped by
+    bucket on the host, padded to powers of two, and each bucket runs ONE
+    jitted program: gather posting blocks -> einsum scores (MXU) ->
+    per-doc ``segment_max`` (the MaxSim inner max, with the training
+    objective's zero floor) -> scatter-add into the dense (B, num_docs)
+    accumulator (the sum over query tokens);
+  * CLS scores add via a plain matmul; top-k via ``lax.top_k`` on the
+    accumulator.
+
+This is the accelerator counterpart of the numpy search in
+``inverted.py`` (reference behavior: the missing
+dpr_scale.index.inverted_vector_index GPU classes,
+citadel_retrieval_task.py:56-60) — consistency is tested against both the
+host search and the training scorer.
+"""
+from __future__ import annotations
+
+import collections
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BUCKET_SIZES = (128, 512, 2048, 8192, 32768, 131072)
+
+
+def _bucket_for(n: int) -> int:
+    for b in BUCKET_SIZES:
+        if n <= b:
+            return b
+    return BUCKET_SIZES[-1]
+
+
+class DeviceExpertIndex:
+    """Built via :meth:`from_host_index`; search via :meth:`search`."""
+
+    def __init__(self, num_docs: int, dtype=jnp.bfloat16):
+        self.num_docs = num_docs
+        self.dtype = dtype
+        # per bucket size: device arrays + expert->slot map
+        self.buckets: Dict[int, dict] = {}
+        self.cls: Optional[jax.Array] = None
+        self._search_fns: Dict[Tuple[int, int], callable] = {}
+
+    # ------------------------------------------------------------- #
+
+    @classmethod
+    def from_host_index(cls, host_index, dtype=jnp.bfloat16) -> "DeviceExpertIndex":
+        self = cls(host_index.num_docs, dtype)
+        by_bucket: Dict[int, List[Tuple[int, object]]] = collections.defaultdict(list)
+        for e, posts in host_index.experts.items():
+            # cap at the largest bucket (oversized lists get truncated to
+            # their highest-weight postings, like `portion` pruning)
+            by_bucket[_bucket_for(len(posts.doc_ids))].append((e, posts))
+
+        for bsize, entries in by_bucket.items():
+            n_exp = len(entries)
+            vecs = np.zeros((n_exp, bsize, entries[0][1].vecs.shape[1]), np.float32)
+            run_id = np.zeros((n_exp, bsize), np.int32)
+            run_doc = np.full((n_exp, bsize), -1, np.int64)
+            slot_of: Dict[int, int] = {}
+            for slot, (e, posts) in enumerate(entries):
+                order = posts.sort_order
+                v = posts.dense_vecs()[order]
+                docs = posts.doc_ids[order]
+                n = min(len(docs), bsize)
+                if len(docs) > bsize:  # truncate by weight, keep doc sort
+                    keep = np.sort(np.argsort(-posts.weights[order])[:bsize])
+                    v, docs = v[keep], docs[keep]
+                    n = bsize
+                vecs[slot, :n] = v[:n]
+                # run segmentation: consecutive equal docs share a run id
+                starts = np.concatenate([[True], docs[1:n] != docs[: n - 1]])
+                rid = np.cumsum(starts) - 1
+                run_id[slot, :n] = rid
+                run_doc[slot, rid] = docs[:n]  # run id -> doc (first hit wins)
+                # pad positions: point at the last run (their scores are 0
+                # and the zero floor keeps them harmless), doc stays -1 for
+                # pure-pad runs
+                if n < bsize:
+                    run_id[slot, n:] = rid[-1] if n else 0
+            self.buckets[bsize] = {
+                "vecs": jax.device_put(jnp.asarray(vecs, dtype)),
+                "run_id": jax.device_put(jnp.asarray(run_id)),
+                "run_doc": jax.device_put(jnp.asarray(run_doc.astype(np.int32))),
+                "slot_of": slot_of
+                | {e: s for s, (e, _p) in enumerate(entries)},
+            }
+        if host_index.cls is not None:
+            self.cls = jax.device_put(jnp.asarray(host_index.cls, dtype))
+        return self
+
+    # ------------------------------------------------------------- #
+
+    def _bucket_search_fn(self, bsize: int, n_entries: int):
+        key = (bsize, n_entries)
+        if key in self._search_fns:
+            return self._search_fns[key]
+
+        @jax.jit
+        def run(acc, vecs, run_id, run_doc, slots, qvecs, qrows):
+            # gather posting blocks for the touched experts
+            pv = vecs[slots]  # (E, L, D)
+            rid = run_id[slots]  # (E, L)
+            rdoc = run_doc[slots]  # (E, L)
+            scores = jnp.einsum(
+                "ed,eld->el", qvecs.astype(pv.dtype), pv,
+                preferred_element_type=jnp.float32,
+            )  # (E, L)
+            # MaxSim inner max per doc run; zero floor matches the training
+            # objective's gated-MaxSim (non-matching pairs contribute 0)
+            seg = jax.vmap(
+                lambda s, r: jax.ops.segment_max(
+                    s, r, num_segments=bsize, indices_are_sorted=True
+                )
+            )(scores, rid)  # (E, L) run-indexed maxima
+            seg = jnp.maximum(seg, 0.0)
+            # scatter-add run maxima into (B, num_docs); -1 docs drop to a
+            # trash row
+            docs = jnp.where(rdoc >= 0, rdoc, self.num_docs)
+            flat_rows = jnp.repeat(qrows, bsize)
+            acc = acc.at[flat_rows, docs.reshape(-1)].add(
+                seg.reshape(-1), mode="drop"
+            )
+            return acc
+
+        self._search_fns[key] = run
+        return run
+
+    def search(
+        self, query_out: Dict[str, np.ndarray], topk: int = 100
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Same contract as InvertedExpertIndex.search, computed on device."""
+        expert_ids = np.asarray(query_out["expert_ids"])
+        expert_repr = np.asarray(query_out["expert_repr"], dtype=np.float32)
+        attn = np.asarray(query_out["attention_mask"])
+        weights = query_out.get("expert_weights")
+        weights = None if weights is None else np.asarray(weights, np.float32)
+        B = expert_repr.shape[0]
+        citadel = expert_ids.ndim == 3
+
+        # host-side routing: group query entries by bucket
+        per_bucket: Dict[int, List[Tuple[int, int, np.ndarray]]] = collections.defaultdict(list)
+        for b in range(B):
+            for t in np.flatnonzero(attn[b] > 0):
+                vec = expert_repr[b, t]
+                pairs = (
+                    [
+                        (int(expert_ids[b, t, kk]), float(weights[b, t, kk]))
+                        for kk in range(expert_ids.shape[2])
+                    ]
+                    if citadel
+                    else [
+                        (
+                            int(expert_ids[b, t]),
+                            1.0 if weights is None else float(weights[b, t]),
+                        )
+                    ]
+                )
+                for e, w in pairs:
+                    if e < 0 or w <= 0:
+                        continue
+                    for bsize, bucket in self.buckets.items():
+                        slot = bucket["slot_of"].get(e)
+                        if slot is not None:
+                            per_bucket[bsize].append((b, slot, w * vec))
+                            break
+
+        acc = jnp.zeros((B, self.num_docs + 1), jnp.float32)  # +1 trash row
+        for bsize, entries in per_bucket.items():
+            bucket = self.buckets[bsize]
+            n = len(entries)
+            n_pad = max(8, 1 << (n - 1).bit_length())
+            qrows = np.zeros((n_pad,), np.int32)
+            slots = np.zeros((n_pad,), np.int32)
+            qvecs = np.zeros((n_pad, expert_repr.shape[-1]), np.float32)
+            for j, (b, slot, vec) in enumerate(entries):
+                qrows[j], slots[j], qvecs[j] = b, slot, vec
+            # pad entries: slot 0 with zero qvec -> scores 0 -> zero floor
+            run = self._bucket_search_fn(bsize, n_pad)
+            acc = run(
+                acc,
+                bucket["vecs"],
+                bucket["run_id"],
+                bucket["run_doc"],
+                jnp.asarray(slots),
+                jnp.asarray(qvecs),
+                jnp.asarray(qrows),
+            )
+        acc = acc[:, : self.num_docs]
+        if self.cls is not None and "cls_repr" in query_out:
+            q_cls = jnp.asarray(np.asarray(query_out["cls_repr"], np.float32))
+            acc = acc + jnp.dot(
+                q_cls.astype(self.dtype), self.cls.T, preferred_element_type=jnp.float32
+            )
+        k = min(topk, self.num_docs)
+        s, idx = jax.lax.top_k(acc, k)
+        return np.asarray(s), np.asarray(idx)

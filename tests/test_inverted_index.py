@@ -101,6 +101,38 @@ def test_index_multi_shard_merge(tmp_path):
     np.testing.assert_array_equal(r1, r2)
 
 
+@pytest.mark.parametrize("variant", ["citadel", "coil"])
+def test_device_index_matches_host(variant, tmp_path):
+    """The TPU-native bucketed search must reproduce the host search."""
+    import jax.numpy as jnp
+
+    from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
+
+    topk = 2 if variant == "citadel" else 1
+    model, params, doc_out = _encode(variant, 8, 12, seed=8, topk=topk, add_cls=True)
+    doc_out = {k: np.asarray(v) for k, v in doc_out.items()}
+    host = InvertedExpertIndex(dim=8, num_docs=8)
+    host.add_batch(range(8), doc_out)
+    host.finalize()
+    dev = DeviceExpertIndex.from_host_index(host, dtype=jnp.float32)
+
+    rng = np.random.default_rng(9)
+    q_ids = jnp.asarray(rng.integers(5, 32, size=(3, 8)), jnp.int32)
+    q_out = model.apply(
+        params, q_ids, jnp.ones((3, 8), jnp.int32), topk=topk, add_cls=True
+    )
+    q_out = {k: np.asarray(v) for k, v in q_out.items()}
+
+    hs, hr = host.search(q_out, topk=8)
+    ds, dr = dev.search(q_out, topk=8)
+    for b in range(3):
+        dense_h = np.zeros(8, np.float32)
+        dense_h[hr[b]] = hs[b]
+        dense_d = np.zeros(8, np.float32)
+        dense_d[dr[b]] = ds[b]
+        np.testing.assert_allclose(dense_d, dense_h, rtol=1e-4, atol=1e-4)
+
+
 def test_index_pruning_and_quantization():
     model, params, doc_out = _encode("citadel", 6, 10, seed=6, topk=2)
     doc_out = {k: np.asarray(v) for k, v in doc_out.items()}
