@@ -36,6 +36,7 @@ NEG_INF = jnp.float32(-1e30)
 CHUNK_ROWS = 131072  # per-device scan chunk (scores tile: B x CHUNK fp32)
 OVERSAMPLE = 3  # approx pass gathers OVERSAMPLE*k candidates per chunk so
 # the exactness verification almost always passes on the first try
+MERGE_EVERY = 4  # chunks whose winners accumulate before one carry re-top-k
 
 
 def merge_topk_batched(
@@ -184,20 +185,27 @@ class MipsIndex:
             qd = q.astype(self.dtype)
             B = q.shape[0]
             kc = min(k_carry, ch)
+            # merge cadence: collect winners from MERGE_EVERY chunks before
+            # re-top-k'ing the carry — fewer sorts on the hot path
+            me = MERGE_EVERY if nch % MERGE_EVERY == 0 else 1
 
             def body(carry, xs):
                 cs, ci, off = carry
-                c, v = xs
-                s = jnp.dot(qd, c.T, preferred_element_type=jnp.float32)
-                s = jnp.where(v[:, 0][None, :], s, NEG_INF)
-                if use_approx:
-                    ts, ti = jax.lax.approx_max_k(s, kc)
-                else:
-                    ts, ti = jax.lax.top_k(s, kc)
-                ms = jnp.concatenate([cs, ts], axis=1)
-                mi = jnp.concatenate([ci, ti + off], axis=1)
+                cands_s, cands_i = [cs], [ci]
+                for j in range(me):
+                    c, v = xs[0][j], xs[1][j]
+                    s = jnp.dot(qd, c.T, preferred_element_type=jnp.float32)
+                    s = jnp.where(v[:, 0][None, :], s, NEG_INF)
+                    if use_approx:
+                        ts, ti = jax.lax.approx_max_k(s, kc)
+                    else:
+                        ts, ti = jax.lax.top_k(s, kc)
+                    cands_s.append(ts)
+                    cands_i.append(ti + off + j * ch)
+                ms = jnp.concatenate(cands_s, axis=1)
+                mi = jnp.concatenate(cands_i, axis=1)
                 s2, pos = jax.lax.top_k(ms, kc)
-                return (s2, jnp.take_along_axis(mi, pos, axis=1), off + ch), None
+                return (s2, jnp.take_along_axis(mi, pos, axis=1), off + me * ch), None
 
             init = (
                 jnp.full((B, kc), NEG_INF, jnp.float32),
@@ -209,7 +217,10 @@ class MipsIndex:
             (s, i, _), _ = jax.lax.scan(
                 body,
                 init,
-                (emb_l.reshape(nch, ch, -1), valid_l.reshape(nch, ch, -1)),
+                (
+                    emb_l.reshape(nch // me, me, ch, -1),
+                    valid_l.reshape(nch // me, me, ch, -1),
+                ),
             )
             shard = jax.lax.axis_index("data")
             return s, i + shard * emb_l.shape[0]
