@@ -73,6 +73,7 @@ def main(argv=None):
 
     k = cfg.task.get("topk", 100)
     all_scores, all_rows = [], []
+    query_dump = [] if cfg.task.get("query_emb_output_dir") else None
     t_encode = 0.0
     for batch in dm.batches():
         tic = time.perf_counter()
@@ -81,9 +82,38 @@ def main(argv=None):
         t_encode += time.perf_counter() - tic
         n = batch["input_ids"].shape[0] - int(batch["pad_count"])
         out = {key: (v[:n] if np.ndim(v) > 0 else v) for key, v in out.items()}
+        if query_dump is not None:
+            query_dump.append(out)
         s, r = index.search(out, topk=k)
         all_scores.append(s)
         all_rows.append(r)
+
+    if query_dump is not None:
+        # query-side emission parity (GenerateMultiVecQueryEmbeddingsTask,
+        # citadel_eval_task.py:120-213): query_repr/weight/id/cls pickles
+        import os
+        import pickle
+
+        out_dir = cfg.task["query_emb_output_dir"]
+        os.makedirs(out_dir, exist_ok=True)
+        payloads = {
+            "query_repr.pkl": np.concatenate([d["expert_repr"] for d in query_dump]),
+            "query_weight.pkl": np.concatenate(
+                [d["expert_weights"] for d in query_dump]
+            )
+            if "expert_weights" in query_dump[0]
+            else None,
+            "query_id.pkl": [q.get("id", i) for i, q in enumerate(questions)],
+            "query_cls.pkl": np.concatenate([d["cls_repr"] for d in query_dump])
+            if "cls_repr" in query_dump[0]
+            else None,
+        }
+        for name, payload in payloads.items():
+            if payload is None:
+                continue
+            with open(os.path.join(out_dir, name), "wb") as f:
+                pickle.dump(payload, f, protocol=4)
+        print(f"Wrote query-side embeddings to {out_dir}")
     scores = np.concatenate(all_scores, 0)
     rows = np.concatenate(all_rows, 0)
     index.latency["encode_time"] = t_encode
