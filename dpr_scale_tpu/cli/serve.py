@@ -1,0 +1,65 @@
+"""Retrieval serving endpoint.
+
+Usage:
+    python -m dpr_scale_tpu.cli.serve --config conf/nq.yaml \
+        task.checkpoint_path=/ckpt/params_best \
+        task.ctx_embeddings_dir=/embs \
+        datamodule.passages_path=psgs_w100.tsv \
+        serve.port=8080 [serve.method=approx] [serve.k=10]
+
+    curl -XPOST localhost:8080/search -d '{"questions": ["who wrote hamlet"], "k": 5}'
+"""
+from __future__ import annotations
+
+import argparse
+
+from dpr_scale_tpu.cli.common import build_task, build_tokenizer
+from dpr_scale_tpu.config import load_config
+from dpr_scale_tpu.data.datasets import CSVDataset
+from dpr_scale_tpu.encode.embeddings import CorpusEncoder
+from dpr_scale_tpu.retrieve.retrieval import build_index
+from dpr_scale_tpu.retrieve.server import Retriever, make_server
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.overrides)
+    s = cfg.get("serve", {})
+
+    tokenizer = build_tokenizer(cfg)
+    task = build_task(cfg)
+    from dpr_scale_tpu.cli.generate_embeddings import _init_params
+
+    params = _init_params(task, tokenizer, cfg.task.get("checkpoint_path"))
+    encoder = CorpusEncoder(task.model, params, task.mesh, use_query_tower=True)
+
+    index = build_index(
+        cfg.task["ctx_embeddings_dir"],
+        task.mesh,
+        host_resident=cfg.task.get("host_resident_index", False),
+    )
+    index.method = s.get("method", "approx")  # serving default: low latency
+    passages = CSVDataset(cfg.datamodule["passages_path"])
+
+    retriever = Retriever(
+        encoder,
+        tokenizer,
+        index,
+        passages,
+        default_k=s.get("k", 10),
+        max_batch=s.get("max_batch", 64),
+    )
+    # warm the jit caches so the first request isn't a compile
+    retriever.search(["warmup"], k=1)
+
+    host, port = s.get("host", "0.0.0.0"), s.get("port", 8080)
+    server = make_server(retriever, host, port)
+    print(f"Serving retrieval on {host}:{port} over {index.num_rows} passages")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

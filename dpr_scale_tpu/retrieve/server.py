@@ -1,0 +1,123 @@
+"""Online retrieval serving: query text -> encoded -> exact MIPS -> passages.
+
+The reference is train/eval tooling only ("not a serving system",
+SURVEY.md); this module adds the deployment surface the TPU build targets:
+a thread-safe retriever handle plus a stdlib HTTP server
+(``cli/serve.py``). Queries are padded into power-of-two batch buckets so
+the jitted encode+search programs are reused across request sizes.
+
+API:
+    POST /search  {"questions": ["...", ...], "k": 10}
+      -> {"results": [[{"id","title","text","score"}, ...], ...]}
+    GET /healthz  -> {"status": "ok", "corpus_rows": N}
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+
+class Retriever:
+    """Encode queries and search the corpus; thread-safe."""
+
+    def __init__(
+        self,
+        encoder,  # CorpusEncoder with use_query_tower=True
+        tokenizer,
+        index,  # MipsIndex
+        passages,  # CSVDataset
+        default_k: int = 10,
+        max_batch: int = 64,
+    ):
+        self.encoder = encoder
+        self.tokenizer = tokenizer
+        self.index = index
+        self.passages = passages
+        self.default_k = default_k
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+
+    def _pad_batch(self, n: int) -> int:
+        return min(self.max_batch, max(8, 1 << (n - 1).bit_length()))
+
+    def search(self, questions: List[str], k: Optional[int] = None) -> List[List[dict]]:
+        k = k or self.default_k
+        results: List[List[dict]] = []
+        with self._lock:  # jitted calls + index state are shared
+            for lo in range(0, len(questions), self.max_batch):
+                chunk = questions[lo : lo + self.max_batch]
+                pad_b = self._pad_batch(len(chunk))
+                texts = chunk + [""] * (pad_b - len(chunk))
+                ids, mask = self.tokenizer(texts)
+                emb = np.asarray(
+                    self.encoder._encode(self.encoder.params, ids, mask),
+                    dtype=np.float32,
+                )
+                scores, rows = self.index.search(emb, k)
+                for qi in range(len(chunk)):
+                    ctxs = []
+                    for score, row in zip(scores[qi], rows[qi]):
+                        if row < 0:
+                            continue
+                        p = self.passages[int(row)]
+                        ctxs.append(
+                            {
+                                "id": p.get("id", str(int(row))),
+                                "title": p.get("title", ""),
+                                "text": p.get("text", ""),
+                                "score": float(score),
+                            }
+                        )
+                    results.append(ctxs)
+        return results
+
+
+def make_server(retriever: Retriever, host: str = "0.0.0.0", port: int = 8080):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(
+                    200,
+                    {"status": "ok", "corpus_rows": retriever.index.num_rows},
+                )
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                questions = req.get("questions")
+                if not isinstance(questions, list) or not questions:
+                    self._reply(400, {"error": "questions must be a non-empty list"})
+                    return
+                k = req.get("k")
+                if k is not None and (not isinstance(k, int) or k <= 0):
+                    self._reply(400, {"error": "k must be a positive integer"})
+                    return
+                results = retriever.search([str(q) for q in questions], k)
+                self._reply(200, {"results": results})
+            except json.JSONDecodeError:
+                self._reply(400, {"error": "invalid JSON body"})
+            except Exception as e:  # surface server-side failures to client
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -199,3 +199,24 @@ def test_cross_encoder_shapes():
     params = model.init(jax.random.PRNGKey(0), ids, mask)
     logits = model.apply(params, ids, mask)
     assert logits.shape == (3, 2)
+
+
+def test_multivec_sharded_equals_single_device():
+    """Multi-vector eval metrics match between an 8-device mesh and a
+    single device — the GSPMD replacement for the reference's
+    dynamic-shape distributed_gather (citadel_task.py:97-135)."""
+    from dpr_scale_tpu.parallel import get_mesh
+
+    batch = _mv_batch(8, 2, seed=3)
+    results = {}
+    for n in (8, 1):
+        task = MultiVecRetrieverTask(
+            cfg=CFG, variant="citadel", tok_projection_dim=8,
+            query_topk=2, context_topk=2,
+            optimizer=make_optimizer("adamw", 1e-3), mesh=get_mesh(n),
+        )
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        results[n] = task.run_eval(state, [batch])
+    np.testing.assert_allclose(results[8]["loss"], results[1]["loss"], rtol=2e-5)
+    np.testing.assert_allclose(results[8]["mrr"], results[1]["mrr"], rtol=1e-6)
+    assert results[8]["avg_rank"] == results[1]["avg_rank"]

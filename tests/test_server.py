@@ -1,0 +1,109 @@
+"""Retrieval server: real HTTP requests against an in-process server."""
+import dataclasses
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpr_scale_tpu.data.datasets import CSVDataset
+from dpr_scale_tpu.data.tokenize import HFTokenizer
+from dpr_scale_tpu.encode.embeddings import CorpusEncoder
+from dpr_scale_tpu.index import MipsIndex
+from dpr_scale_tpu.models import BiEncoder, TransformerConfig
+from dpr_scale_tpu.parallel import get_mesh
+from dpr_scale_tpu.retrieve.server import Retriever, make_server
+
+
+@pytest.fixture(scope="module")
+def server_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve")
+    passages_path = d / "passages.tsv"
+    with open(passages_path, "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for i in range(20):
+            f.write(f"d{i}\tpassage text {i}\ttitle {i}\n")
+
+    # tiny tokenizer
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "passage", "text",
+             "title", "query"] + [str(i) for i in range(20)]
+    (d / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    from transformers import BertTokenizerFast
+
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    tok = HFTokenizer(str(d), max_seq_len=12)
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(vocab_size=len(vocab)), dtype=jnp.float32
+    )
+    model = BiEncoder(cfg, shared=True)
+    ids = jnp.ones((2, 12), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids, ids, ids)["params"]
+    mesh = get_mesh(8)
+    encoder = CorpusEncoder(model, params, mesh, use_query_tower=True)
+
+    # corpus embeddings from the same model (context tower)
+    ctx_encoder = CorpusEncoder(model, params, mesh)
+    passages = CSVDataset(str(passages_path), cache_index=False)
+    texts = [passages[i]["text"] for i in range(20)]
+    cids, cmask = tok(texts)
+    emb = np.asarray(ctx_encoder._encode(params, cids, cmask), np.float32)
+    index = MipsIndex(mesh, dtype=jnp.float32)
+    index.add(emb)
+
+    retriever = Retriever(encoder, tok, index, passages, default_k=3)
+    server = make_server(retriever, "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", passages
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/search",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server_setup):
+    url, _ = server_setup
+    with urllib.request.urlopen(url + "/healthz") as resp:
+        body = json.loads(resp.read())
+    assert body == {"status": "ok", "corpus_rows": 20}
+
+
+def test_search_roundtrip(server_setup):
+    url, passages = server_setup
+    status, body = _post(url, {"questions": ["passage text 3", "passage text 7"], "k": 4})
+    assert status == 200
+    results = body["results"]
+    assert len(results) == 2
+    assert len(results[0]) == 4
+    assert {"id", "title", "text", "score"} == set(results[0][0])
+    # a query identical to a passage should retrieve that passage first
+    # (shared tower, same text -> identical embedding -> max dot product)
+    assert results[0][0]["id"] == "d3"
+    assert results[1][0]["id"] == "d7"
+    # scores sorted descending
+    scores = [c["score"] for c in results[0]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_error_handling(server_setup):
+    url, _ = server_setup
+    assert _post(url, {"questions": []})[0] == 400
+    assert _post(url, {"k": 3})[0] == 400
+    assert _post(url, {"questions": ["x"], "k": -1})[0] == 400
+    status, _ = _post(url, {"questions": ["x"], "k": 100})  # k > corpus clamps
+    assert status == 200
