@@ -30,6 +30,9 @@ from dpr_scale_tpu.retrieve.writers import write_dpr_json, write_trec_run
 
 
 def main(argv=None):
+    from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("overrides", nargs="*")

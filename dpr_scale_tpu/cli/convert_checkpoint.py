@@ -41,6 +41,9 @@ ARCHES = {
 
 
 def main(argv=None):
+    from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)

@@ -46,6 +46,9 @@ def _init_params(task, tokenizer, checkpoint_path):
 
 
 def main(argv=None):
+    from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("--queries", action="store_true", help="encode queries instead")

@@ -50,6 +50,9 @@ def build_multivec_model(cfg, tokenizer):
 
 
 def main(argv=None):
+    from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("overrides", nargs="*")

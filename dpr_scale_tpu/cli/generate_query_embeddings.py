@@ -36,6 +36,9 @@ def encode_queries(cfg, task, params, tokenizer, out_dir) -> str:
 
 
 def main(argv=None):
+    from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from dpr_scale_tpu.cli.generate_embeddings import _init_params
 
     parser = argparse.ArgumentParser(description=__doc__)

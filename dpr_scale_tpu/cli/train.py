@@ -23,6 +23,9 @@ from dpr_scale_tpu.utils.logging import MetricLogger
 
 
 def main(argv=None):
+    from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("--test-only", action="store_true")
