@@ -44,7 +44,9 @@ def main(argv=None):
         task.mesh,
         host_resident=cfg.task.get("host_resident_index", False),
     )
-    index.method = s.get("method", "approx")  # serving default: low latency
+    method = s.get("method", "approx")  # serving default: low latency
+    assert method in ("auto", "approx", "exact_sort"), f"unknown serve.method {method!r}"
+    index.method = method
     passages = CSVDataset(cfg.datamodule["passages_path"])
 
     retriever = Retriever(
@@ -55,8 +57,9 @@ def main(argv=None):
         default_k=s.get("k", 10),
         max_batch=s.get("max_batch", 64),
     )
-    # warm the jit caches so the first request isn't a compile
-    retriever.search(["warmup"], k=1)
+    # warm the jit caches so the first request isn't a compile; k is a
+    # static jit argument, so warm at the DEFAULT k real requests will use
+    retriever.search(["warmup"], k=retriever.default_k)
 
     host, port = s.get("host", "0.0.0.0"), s.get("port", 8080)
     server = make_server(retriever, host, port)

@@ -26,6 +26,7 @@ host search and the training scorer.
 from __future__ import annotations
 
 import collections
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -64,12 +65,12 @@ class DeviceExpertIndex:
             # their highest-weight postings, like `portion` pruning)
             by_bucket[_bucket_for(len(posts.doc_ids))].append((e, posts))
 
+        n_truncated = 0
         for bsize, entries in by_bucket.items():
             n_exp = len(entries)
             vecs = np.zeros((n_exp, bsize, entries[0][1].vecs.shape[1]), np.float32)
             run_id = np.zeros((n_exp, bsize), np.int32)
             run_doc = np.full((n_exp, bsize), -1, np.int64)
-            slot_of: Dict[int, int] = {}
             for slot, (e, posts) in enumerate(entries):
                 order = posts.sort_order
                 v = posts.dense_vecs()[order]
@@ -79,6 +80,7 @@ class DeviceExpertIndex:
                     keep = np.sort(np.argsort(-posts.weights[order])[:bsize])
                     v, docs = v[keep], docs[keep]
                     n = bsize
+                    n_truncated += 1
                 vecs[slot, :n] = v[:n]
                 # run segmentation: consecutive equal docs share a run id
                 starts = np.concatenate([[True], docs[1:n] != docs[: n - 1]])
@@ -94,9 +96,14 @@ class DeviceExpertIndex:
                 "vecs": jax.device_put(jnp.asarray(vecs, dtype)),
                 "run_id": jax.device_put(jnp.asarray(run_id)),
                 "run_doc": jax.device_put(jnp.asarray(run_doc.astype(np.int32))),
-                "slot_of": slot_of
-                | {e: s for s, (e, _p) in enumerate(entries)},
+                "slot_of": {e: s for s, (e, _p) in enumerate(entries)},
             }
+        if n_truncated:
+            print(
+                f"WARNING: {n_truncated} experts exceeded {BUCKET_SIZES[-1]} "
+                "postings and were truncated to their highest-weight postings — "
+                "device search diverges from host search for the dropped docs"
+            )
         if host_index.cls is not None:
             self.cls = jax.device_put(jnp.asarray(host_index.cls, dtype))
         return self
@@ -108,8 +115,10 @@ class DeviceExpertIndex:
         if key in self._search_fns:
             return self._search_fns[key]
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def run(acc, vecs, run_id, run_doc, slots, qvecs, qrows):
+            # acc is donated: the (B, num_docs+1) fp32 accumulator updates
+            # in place instead of copying multi-GB buffers per bucket
             # gather posting blocks for the touched experts
             pv = vecs[slots]  # (E, L, D)
             rid = run_id[slots]  # (E, L)

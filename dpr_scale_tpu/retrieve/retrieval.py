@@ -18,6 +18,28 @@ from dpr_scale_tpu.index import MipsIndex
 from dpr_scale_tpu.retrieve.writers import write_dpr_json, write_trec_run
 
 
+def rows_to_ctxs(passages, scores, indices) -> List[List[Dict]]:
+    """Join (B, k) scores/global-row-indices with the passage TSV into the
+    DPR ctx dicts (shared by retrieve() and the serving Retriever)."""
+    results: List[List[Dict]] = []
+    for qi in range(scores.shape[0]):
+        ctxs = []
+        for score, row in zip(scores[qi], indices[qi]):
+            if row < 0:
+                continue
+            p = passages[int(row)]
+            ctxs.append(
+                {
+                    "id": p.get("id", str(int(row))),
+                    "title": p.get("title", ""),
+                    "text": p.get("text", ""),
+                    "score": float(score),
+                }
+            )
+        results.append(ctxs)
+    return results
+
+
 def build_index(
     ctx_embeddings_dir: str,
     mesh,
@@ -77,22 +99,7 @@ def retrieve(
     scores = np.concatenate(all_scores, 0)
     indices = np.concatenate(all_indices, 0)
 
-    results: List[List[Dict]] = []
-    for qi in range(nq):
-        ctxs = []
-        for score, row in zip(scores[qi], indices[qi]):
-            if row < 0:
-                continue
-            p = passages[int(row)]
-            ctxs.append(
-                {
-                    "id": p.get("id", str(int(row))),
-                    "title": p.get("title", ""),
-                    "text": p.get("text", ""),
-                    "score": float(score),
-                }
-            )
-        results.append(ctxs)
+    results = rows_to_ctxs(passages, scores, indices)
 
     if output_json_path:
         write_dpr_json(output_json_path, questions, results)

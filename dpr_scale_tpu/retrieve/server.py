@@ -45,6 +45,8 @@ class Retriever:
         return min(self.max_batch, max(8, 1 << (n - 1).bit_length()))
 
     def search(self, questions: List[str], k: Optional[int] = None) -> List[List[dict]]:
+        from dpr_scale_tpu.retrieve.retrieval import rows_to_ctxs
+
         k = k or self.default_k
         results: List[List[dict]] = []
         with self._lock:  # jitted calls + index state are shared
@@ -58,22 +60,14 @@ class Retriever:
                     dtype=np.float32,
                 )
                 scores, rows = self.index.search(emb, k)
-                for qi in range(len(chunk)):
-                    ctxs = []
-                    for score, row in zip(scores[qi], rows[qi]):
-                        if row < 0:
-                            continue
-                        p = self.passages[int(row)]
-                        ctxs.append(
-                            {
-                                "id": p.get("id", str(int(row))),
-                                "title": p.get("title", ""),
-                                "text": p.get("text", ""),
-                                "score": float(score),
-                            }
-                        )
-                    results.append(ctxs)
+                results.extend(
+                    rows_to_ctxs(self.passages, scores[: len(chunk)], rows[: len(chunk)])
+                )
         return results
+
+
+MAX_QUESTIONS_PER_REQUEST = 1024
+MAX_BODY_BYTES = 16 * 1024 * 1024
 
 
 def make_server(retriever: Retriever, host: str = "0.0.0.0", port: int = 8080):
@@ -104,10 +98,22 @@ def make_server(retriever: Retriever, host: str = "0.0.0.0", port: int = 8080):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > MAX_BODY_BYTES:
+                    self._reply(413, {"error": "request body too large"})
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 questions = req.get("questions")
                 if not isinstance(questions, list) or not questions:
                     self._reply(400, {"error": "questions must be a non-empty list"})
+                    return
+                if len(questions) > MAX_QUESTIONS_PER_REQUEST:
+                    self._reply(
+                        400,
+                        {
+                            "error": f"at most {MAX_QUESTIONS_PER_REQUEST} "
+                            "questions per request"
+                        },
+                    )
                     return
                 k = req.get("k")
                 if k is not None and (not isinstance(k, int) or k <= 0):
@@ -117,7 +123,10 @@ def make_server(retriever: Retriever, host: str = "0.0.0.0", port: int = 8080):
                 self._reply(200, {"results": results})
             except json.JSONDecodeError:
                 self._reply(400, {"error": "invalid JSON body"})
-            except Exception as e:  # surface server-side failures to client
-                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            except Exception:
+                import traceback
+
+                traceback.print_exc()  # server log; clients get no internals
+                self._reply(500, {"error": "internal error"})
 
     return ThreadingHTTPServer((host, port), Handler)

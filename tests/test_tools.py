@@ -197,3 +197,52 @@ def test_prep_ccnews_ict(tmp_path):
     for r in brows:
         assert r["question"].startswith("Alpha")
         assert not r["positive_ctxs"][0]["text"].startswith("Alpha")
+
+
+def test_prep_msmarco_jsonl(tmp_path):
+    src = tmp_path / "msm.jsonl"
+    with open(src, "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "query_id": "7",
+                    "query": "who wrote",
+                    "positive_passages": [{"docid": "d1", "text": "t", "title": "T"}],
+                    "negative_passages": [{"docid": "d2", "text": "n"}],
+                }
+            )
+            + "\n"
+        )
+    run_tool(
+        "prep_msmarco_jsonl.py", "--doc_path", str(src),
+        "--output_dir_path", str(tmp_path), "--dev_pct", "0",
+    )
+    rows = [json.loads(l) for l in open(tmp_path / "msmarco_exp_train.jsonl")]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["question"] == "who wrote" and r["question_id"] == "7"
+    assert r["positive_ctxs"] == [
+        {"text": "t", "title": "T", "score": 1000, "title_score": 1, "passage_id": "d1"}
+    ]
+    assert r["hard_negative_ctxs"][0]["passage_id"] == "d2"
+
+
+def test_corpus_stats(tmp_path):
+    tsv = tmp_path / "collection.tsv"
+    tsv.write_text("id\ttext\ttitle\n0\tone two three\tt\n1\tone two\tt t\n")
+    out = run_tool("corpus_stats.py", "--path", str(tsv))
+    stats = json.loads(out)
+    assert stats["rows"] == 2
+    assert stats["text_words"]["max"] == 3
+    assert stats["title_words"]["max"] == 2
+
+    jl = tmp_path / "train.jsonl"
+    jl.write_text(
+        json.dumps(
+            {"question": "a b", "positive_ctxs": [{}], "hard_negative_ctxs": [{}, {}]}
+        )
+        + "\n"
+    )
+    stats = json.loads(run_tool("corpus_stats.py", "--path", str(jl)))
+    assert stats["question_words"]["max"] == 2
+    assert stats["hard_negatives_per_q"]["max"] == 2
