@@ -246,3 +246,26 @@ def test_corpus_stats(tmp_path):
     stats = json.loads(run_tool("corpus_stats.py", "--path", str(jl)))
     assert stats["question_words"]["max"] == 2
     assert stats["hard_negatives_per_q"]["max"] == 2
+
+
+def test_iter_tsv_rows_handles_csv_quoting(tmp_path):
+    """psgs_w100-style quoted text fields parse like pandas read_csv
+    (reference prep scripts), not raw tab-splitting."""
+    sys.path.insert(0, REPO)
+    from tools._text import iter_tsv_rows
+
+    tsv = tmp_path / "psgs.tsv"
+    tsv.write_text(
+        'id\ttext\ttitle\n'
+        '1\t"He said ""hi"" and left."\tDoc A\n'
+        "2\tplain text\tDoc B\n"
+    )
+    rows = list(iter_tsv_rows(str(tsv)))
+    assert rows[0] == (0, ["1", 'He said "hi" and left.', "Doc A"])
+    assert rows[1] == (1, ["2", "plain text", "Doc B"])
+    # headerless files index from 0 too
+    tsv2 = tmp_path / "nohead.tsv"
+    tsv2.write_text("7\talpha\tA\n8\tbeta\tB\n")
+    rows2 = list(iter_tsv_rows(str(tsv2)))
+    assert [r[0] for r in rows2] == [0, 1]
+    assert rows2[0][1][0] == "7"
