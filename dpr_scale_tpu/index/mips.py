@@ -79,6 +79,7 @@ class MipsIndex:
         dtype=jnp.bfloat16,
         method: str = "auto",
         host_resident: bool = False,
+        use_pallas_count: bool = False,
     ):
         """``host_resident=True`` keeps blocks in host RAM (pre-padded,
         pre-converted) and streams each through a reusable device buffer at
@@ -90,6 +91,9 @@ class MipsIndex:
         self.dtype = dtype
         self.method = method
         self.host_resident = host_resident
+        # fused Pallas matmul+count kernel for the verification pass
+        # (measured equal to the XLA scan, 127.7 TFLOP/s on v5e)
+        self.use_pallas_count = use_pallas_count
         self.ndev = mesh.devices.size
         self._blocks: List[Tuple[object, object, int, int]] = []
         # (embeddings (C_pad, D) sharded or host np, valid (C_pad, 1), n_valid, offset)
@@ -172,6 +176,14 @@ class MipsIndex:
         ch = CHUNK_ROWS if c_local % CHUNK_ROWS == 0 else c_local
         return c_local // ch, ch
 
+    def _pallas_count_ok(self, n_local: int, batch: int) -> bool:
+        if not self.use_pallas_count:
+            return False
+        from dpr_scale_tpu.ops.mips_kernels import TILE_B, TILE_ROWS
+
+        tile_b = min(TILE_B, batch)
+        return n_local % TILE_ROWS == 0 and batch % tile_b == 0
+
     def _topk_block_impl(self, emb, valid, queries, k, use_approx):
         """Sharded streaming top-k: per-device chunk scan -> local top-k ->
         cross-device gather -> global re-top-k. Traceable (used both by
@@ -248,14 +260,22 @@ class MipsIndex:
             nch, ch = self._chunk_view(emb_l)
             qd = q.astype(self.dtype)
 
-            def body(cnt, c):
-                s = jnp.dot(qd, c.T, preferred_element_type=jnp.float32)
-                return cnt + jnp.sum(s > thr[:, None], axis=1), None
+            if self._pallas_count_ok(emb_l.shape[0], q.shape[0]):
+                from dpr_scale_tpu.ops.mips_kernels import count_above_kernel
 
-            cnt0 = jax.lax.pcast(
-                jnp.zeros((q.shape[0],), jnp.int32), ("data",), to="varying"
-            )
-            cnt, _ = jax.lax.scan(body, cnt0, emb_l.reshape(nch, ch, -1))
+                cnt = count_above_kernel(
+                    qd, emb_l, thr, interpret=jax.default_backend() == "cpu"
+                )
+            else:
+
+                def body(c_cnt, c):
+                    s = jnp.dot(qd, c.T, preferred_element_type=jnp.float32)
+                    return c_cnt + jnp.sum(s > thr[:, None], axis=1), None
+
+                cnt0 = jax.lax.pcast(
+                    jnp.zeros((q.shape[0],), jnp.int32), ("data",), to="varying"
+                )
+                cnt, _ = jax.lax.scan(body, cnt0, emb_l.reshape(nch, ch, -1))
             # padding rows are zero vectors scoring exactly 0: instead of
             # masking every chunk (an extra HBM sweep each), subtract their
             # analytic contribution — each pad row counts iff 0 > thr
@@ -270,6 +290,9 @@ class MipsIndex:
             mesh=self.mesh,
             in_specs=(P("data", None), P("data", None), P(None, None), P(None,)),
             out_specs=P(None,),
+            # vma tracking doesn't yet propagate through pallas_call bodies
+            # (jax 0.9); the psum makes the output replication explicit anyway
+            check_vma=not self.use_pallas_count,
         )(emb, valid, queries, thresholds)
 
     @functools.partial(jax.jit, static_argnums=(0,))

@@ -48,18 +48,24 @@ def _count_kernel(q_ref, thr_ref, c_ref, out_ref):
     out_ref[:] += jnp.sum(above, axis=1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "vma"))
 def count_above_kernel(
     queries: jax.Array,  # (B, D) any float dtype, B % TILE_B == 0 or B < TILE_B
     corpus: jax.Array,  # (N, D) bf16/fp32, N % TILE_ROWS == 0
     thresholds: jax.Array,  # (B,) fp32
     interpret: bool = False,
+    vma=None,  # mesh axes the output varies over when called inside shard_map
 ) -> jax.Array:  # (B,) int32
     B, D = queries.shape
     N = corpus.shape[0]
     assert N % TILE_ROWS == 0, f"corpus rows {N} must be a multiple of {TILE_ROWS}"
     tile_b = min(TILE_B, B)
     assert B % tile_b == 0, f"batch {B} must be a multiple of {tile_b}"
+    out_shape = (
+        jax.ShapeDtypeStruct((B, 1), jnp.int32, vma=frozenset(vma))
+        if vma
+        else jax.ShapeDtypeStruct((B, 1), jnp.int32)
+    )
     # grid order: corpus tiles (j) innermost so the output block stays
     # resident while corpus tiles stream through VMEM (double-buffered)
     out = pl.pallas_call(
@@ -73,7 +79,7 @@ def count_above_kernel(
             ),
         ],
         out_specs=pl.BlockSpec((tile_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
     )(queries.astype(corpus.dtype), thresholds[:, None].astype(jnp.float32), corpus)
     return out[:, 0]

@@ -88,6 +88,28 @@ def test_mips_verification_counts():
     np.testing.assert_array_equal(cnt, true_cnt)
 
 
+def test_mips_pallas_count_matches_scan():
+    """auto-mode with the fused Pallas count kernel returns identical
+    results to the default XLA-scan verification pass."""
+    rng = np.random.default_rng(6)
+    corpus = rng.normal(size=(8 * 4096, 16)).astype(np.float32)  # tile-aligned
+    queries = rng.normal(size=(8, 16)).astype(np.float32)
+    base = MipsIndex(get_mesh(8), dtype=jnp.float32)
+    pall = MipsIndex(get_mesh(8), dtype=jnp.float32, use_pallas_count=True)
+    base.add(corpus)
+    pall.add(corpus)
+    assert pall._pallas_count_ok(corpus.shape[0] // 8, 8)
+    sb, ib = base.search(queries, k=9)
+    sp, ip = pall.search(queries, k=9)
+    np.testing.assert_allclose(sb, sp, rtol=1e-6)
+    np.testing.assert_array_equal(ib, ip)
+    # direct count comparison at an aggressive threshold
+    tau = jnp.asarray(sb[:, 4].copy())
+    cb = np.asarray(base._count_above(*base._blocks[0][:2], jnp.asarray(queries), tau))
+    cp = np.asarray(pall._count_above(*pall._blocks[0][:2], jnp.asarray(queries), tau))
+    np.testing.assert_array_equal(cb, cp)
+
+
 def test_mips_host_resident_matches_device():
     """Host-resident streaming blocks (for corpora > total HBM) return the
     same results as device-resident blocks."""
