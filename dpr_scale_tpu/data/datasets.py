@@ -130,8 +130,27 @@ class MultiSourceDataset:
         return self.datasets[src][index]
 
 
+def parse_tsv_line(line: str, sep: str = "\t") -> List[str]:
+    """Split one TSV line honoring csv-style quoting.
+
+    Matches the reference's per-field unescaping
+    (dpr_scale/datamodule/dpr.py:94-100: wrapping double quotes stripped,
+    doubled quotes unescaped — psgs_w100.tsv quotes its text fields) and
+    additionally keeps quoted fields with embedded separators intact:
+    the corpus is written with QUOTE_MINIMAL, so a text field may contain
+    real tabs, which the reference's plain split silently mis-shifts.
+    Lines without a quote character take a plain-split fast path.
+    """
+    line = line.rstrip("\r\n")
+    if '"' not in line:
+        return line.split(sep)
+    import csv
+
+    return next(csv.reader([line], delimiter=sep, quotechar='"'))
+
+
 def _split_tsv(line: str) -> List[str]:
-    return line.rstrip("\r\n").split("\t")
+    return parse_tsv_line(line)
 
 
 class CSVDataset(MemoryMappedDataset):
@@ -144,10 +163,10 @@ class CSVDataset(MemoryMappedDataset):
     def __init__(self, path: str, sep: str = "\t", cache_index: bool = True):
         super().__init__(path, header=True, cache_index=cache_index)
         self.sep = sep
-        self.columns = self.header.split(sep) if self.header else []
+        self.columns = parse_tsv_line(self.header, sep) if self.header else []
 
     def process_line(self, line: bytes) -> Dict[str, str]:
-        vals = line.decode("utf-8").rstrip("\r\n").split(self.sep)
+        vals = parse_tsv_line(line.decode("utf-8"), self.sep)
         return dict(zip(self.columns, vals))
 
 
@@ -222,10 +241,10 @@ class IDCSVDataset(IDMemoryMappedDataset):
         self.columns: List[str] = []
         super().__init__(path, header=True)
         if self.header:
-            self.columns = self.header.split(sep)
+            self.columns = parse_tsv_line(self.header, sep)
 
     def process_line(self, line: bytes) -> Dict[str, str]:
-        vals = line.decode("utf-8").rstrip("\r\n").split(self.sep)
+        vals = parse_tsv_line(line.decode("utf-8"), self.sep)
         return dict(zip(self.columns, vals))
 
 

@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from dpr_scale_tpu.data.datasets import parse_tsv_line
 from dpr_scale_tpu.utils.jsonl import json_loads
 
 
@@ -120,7 +121,11 @@ class DPRExampleBuilder:
             line = self.corpus[int(ctx["docidx"])]
             if isinstance(line, (bytes, bytearray)):
                 line = line.decode("utf-8")
-            _docid, text, title = line.strip().split("\t")
+            # quote-aware parse: psgs_w100 quotes text fields, which may
+            # contain escaped quotes and embedded tabs (reference
+            # dpr_transform.py:175 plain-splits and silently mis-shifts)
+            fields = parse_tsv_line(line)
+            _docid, text, title = fields[0], fields[1], fields[2]
             return maybe_add_title(text, title, self.use_title, self.sep_token)
         text = ctx["text"]
         if not isinstance(text, str):  # token-list form in some corpora

@@ -123,3 +123,47 @@ def test_merge_topk():
     out_s, out_i = merge_topk(s, ids, 4)
     assert out_s.tolist() == [9.5, 9.0, 8.0, 7.0]
     assert out_i.tolist() == [80, 0, 40, 10]
+
+
+def test_csv_quoting_runtime_datasets(tmp_path):
+    """Runtime TSV datasets must unescape csv-style quoting like the
+    reference (dpr.py:94-100) AND survive embedded tabs in quoted fields
+    (psgs_w100 is written with QUOTE_MINIMAL)."""
+    p = tmp_path / "corpus.tsv"
+    p.write_text(
+        "id\ttext\ttitle\n"
+        '1\t"He said ""hi"" to me"\tplain title\n'
+        '2\t"tab\there"\t"quoted ""title"""\n'
+        "3\tno quotes\tok\n"
+    )
+    ds = CSVDataset(str(p), cache_index=False)
+    assert ds[0] == {"id": "1", "text": 'He said "hi" to me', "title": "plain title"}
+    assert ds[1] == {"id": "2", "text": "tab\there", "title": 'quoted "title"'}
+    assert ds[2]["text"] == "no quotes"
+
+    idds = IDCSVDataset(str(p))
+    assert idds["2"]["text"] == "tab\there"
+
+    q = tmp_path / "q.tsv"
+    q.write_text('"what ""city"""\t[\'NYC\']\n')
+    qds = QueryCSVDataset(str(q))
+    assert qds[0] == {"question": 'what "city"', "answers": ["NYC"]}
+
+
+def test_docidx_fetch_quote_safe(tmp_path):
+    """Docidx corpus fetch must parse quoted rows with embedded tabs
+    (fixes the reference's plain split at dpr_transform.py:175)."""
+    from dpr_scale_tpu.data import DPRExampleBuilder
+
+    p = tmp_path / "corpus.tsv"
+    p.write_text(
+        "id\ttext\ttitle\n"
+        '0\t"dummy\ttext"\tdummy title\n'
+        '1\t"He said ""hi""\tloudly"\tquoted title\n'
+    )
+    corpus = MemoryMappedDataset(str(p), header=True)
+    row = {"question": "who", "positive_ctxs": [{"docidx": 1}]}
+    b = DPRExampleBuilder(num_negative=1, corpus=corpus, use_title=True, sep_token="|")
+    ex = b.build(row, "train")
+    assert ex.ctx_texts[0] == 'quoted title | He said "hi"\tloudly'
+    assert ex.ctx_texts[1] == "dummy title | dummy\ttext"  # dummy docidx 0
