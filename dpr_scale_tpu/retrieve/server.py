@@ -32,6 +32,7 @@ class Retriever:
         passages,  # CSVDataset
         default_k: int = 10,
         max_batch: int = 64,
+        max_k: int = 1000,
     ):
         self.encoder = encoder
         self.tokenizer = tokenizer
@@ -39,6 +40,7 @@ class Retriever:
         self.passages = passages
         self.default_k = default_k
         self.max_batch = max_batch
+        self.max_k = max_k
         self._lock = threading.Lock()
 
     def _pad_batch(self, n: int) -> int:
@@ -48,6 +50,11 @@ class Retriever:
         from dpr_scale_tpu.retrieve.retrieval import rows_to_ctxs
 
         k = k or self.default_k
+        k = min(k, self.max_k, self.index.num_rows)
+        # round the searched k up to a power of two so arbitrary client k
+        # values reuse a handful of jitted top-k programs (a novel k would
+        # otherwise compile while holding the serving lock)
+        k_searched = min(1 << max(0, k - 1).bit_length(), self.max_k, self.index.num_rows)
         results: List[List[dict]] = []
         with self._lock:  # jitted calls + index state are shared
             for lo in range(0, len(questions), self.max_batch):
@@ -59,9 +66,11 @@ class Retriever:
                     self.encoder._encode(self.encoder.params, ids, mask),
                     dtype=np.float32,
                 )
-                scores, rows = self.index.search(emb, k)
+                scores, rows = self.index.search(emb, k_searched)
                 results.extend(
-                    rows_to_ctxs(self.passages, scores[: len(chunk)], rows[: len(chunk)])
+                    rows_to_ctxs(
+                        self.passages, scores[: len(chunk), :k], rows[: len(chunk), :k]
+                    )
                 )
         return results
 
@@ -118,6 +127,11 @@ def make_server(retriever: Retriever, host: str = "0.0.0.0", port: int = 8080):
                 k = req.get("k")
                 if k is not None and (not isinstance(k, int) or k <= 0):
                     self._reply(400, {"error": "k must be a positive integer"})
+                    return
+                if k is not None and k > retriever.max_k:
+                    self._reply(
+                        400, {"error": f"k must be at most {retriever.max_k}"}
+                    )
                     return
                 results = retriever.search([str(q) for q in questions], k)
                 self._reply(200, {"results": results})

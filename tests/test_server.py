@@ -107,3 +107,16 @@ def test_search_error_handling(server_setup):
     assert _post(url, {"questions": ["x"], "k": -1})[0] == 400
     status, _ = _post(url, {"questions": ["x"], "k": 100})  # k > corpus clamps
     assert status == 200
+
+
+def test_search_k_cap_and_bucketing(server_setup):
+    url, _ = server_setup
+    # k above the configured max_k is rejected, not compiled-under-lock
+    assert _post(url, {"questions": ["x"], "k": 10_001})[0] == 400
+    # non-power-of-two k still returns exactly k results (searched k is
+    # bucketed up to a power of two and sliced)
+    status, body = _post(url, {"questions": ["passage text 3"], "k": 3})
+    assert status == 200
+    assert len(body["results"][0]) == 3
+    scores = [c["score"] for c in body["results"][0]]
+    assert scores == sorted(scores, reverse=True)
