@@ -64,7 +64,7 @@ def main():
     jax.block_until_ready(corpus_dev)
     note("corpus synthesized on device")
 
-    index = MipsIndex(mesh, dtype=jnp.bfloat16, method="auto")
+    index = MipsIndex(mesh, dtype=jnp.bfloat16, method="fused")
     index.add_device(corpus_dev)
     note("index built")
 

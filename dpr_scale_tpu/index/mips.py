@@ -6,21 +6,31 @@ design:
 
   * corpus rows live HBM-resident, sharded over the mesh ``data`` axis
     (row-sharded ``(N, D)``, bf16 by default, fp32 accumulation on the MXU);
-  * per device, the scan streams 131072-row chunks through one jitted
-    program — chunk scores never land in HBM as a full ``B x N`` matrix;
-  * per-chunk winners come from ``lax.approx_max_k`` (the TPU's
-    hardware-optimized partial reduction; measured 167 TFLOP/s vs
-    4.8 TFLOP/s for sort-based ``lax.top_k`` on a v5e chip);
-  * ``method="auto"`` (default) makes the result EXACT: a second
-    counting pass verifies that every score above the found k-th value
-    was captured, and the rare miss falls back to sort-based exact
-    search (the two passes stay MXU-bound, ~2x matmul cost worst case);
+  * ``method="fused"`` (default) is verified-exact in ~2 matmul-bound
+    passes with zero score materialization: (1) one whole-shard
+    ``dot -> lax.approx_max_k`` program per device (XLA fuses the matmul
+    into the PartialReduce, so the ``B x N`` score matrix never exists),
+    (2) one Pallas matmul+count kernel producing exact per-256-row-group
+    counts of scores above the found k-th value, then an on-device rescue
+    that gathers the few discrepant groups whole and re-merges them
+    exactly. Measured 14.0k QPS exact top-100 over 2.1M x 768 bf16 on one
+    v5e chip (vs 6.8k for the older two-pass "auto" and ~26k for the
+    unverified "approx" pass);
+  * ``method="auto"`` is the legacy two-pass pipeline: chunked approx scan
+    + whole-corpus count verification + rare exact fallback;
   * cross-device traffic is only ``B x devices x k`` entries; corpora
     bigger than total HBM stream through as multiple host blocks merged
     on the host (same shard-merge algorithm the reference implements in
     torch at run_retrieval_pytorch.py:210-230,272-277; the merge is the
     native C++ heap in dpr_scale_tpu.utils.native for single queries and
     vectorized numpy for batches).
+
+Exactness caveat (applies to every method, and equally to FAISS-vs-this
+comparisons): scores are fp32 accumulations of bf16 inputs, so elements
+whose scores differ by under ~1 ulp of each other may swap ranks
+depending on accumulation order; the verification logic is written so
+such near-ties can only add rescue work, never produce a wrong top-k set
+under the pipeline's own scoring.
 """
 from __future__ import annotations
 
@@ -37,6 +47,13 @@ CHUNK_ROWS = 131072  # per-device scan chunk (scores tile: B x CHUNK fp32)
 OVERSAMPLE = 3  # approx pass gathers OVERSAMPLE*k candidates per chunk so
 # the exactness verification almost always passes on the first try
 MERGE_EVERY = 4  # chunks whose winners accumulate before one carry re-top-k
+
+# fused-pipeline tuning (method="fused")
+FUSED_KC = 128  # per-device approx candidates
+RESCUE_GROUPS = 6  # most-discrepant corpus groups rescued whole per query —
+# the whole-shard approx pass misses ~1.3 single elements per failing query
+# (measured ~1.8 discrepant groups per failing query on random 2.1M x 768);
+# queries with more discrepant groups fall back to the host exact path
 
 
 def merge_topk_batched(
@@ -65,10 +82,13 @@ class MipsIndex:
     files). ``search(queries, k)`` returns global (scores, indices).
 
     method:
-      * ``"auto"``  — approx pass + exactness verification (+ rare exact
-        fallback). Returned top-k is exact.
+      * ``"fused"`` — (default) whole-shard approx pass + Pallas
+        group-count verification + on-device whole-group rescue.
+        Returned top-k is exact; fastest exact mode.
+      * ``"auto"``  — legacy two-pass: chunked approx + count verification
+        (+ rare exact fallback). Returned top-k is exact.
       * ``"approx"``— single approx pass (recall ~0.999 for k=100 over
-        multi-chunk corpora); fastest.
+        multi-chunk corpora); fastest, unverified.
       * ``"exact_sort"`` — sort-based ``lax.top_k`` per chunk; slow,
         reference semantics for tests.
     """
@@ -77,7 +97,7 @@ class MipsIndex:
         self,
         mesh: Mesh,
         dtype=jnp.bfloat16,
-        method: str = "auto",
+        method: str = "fused",
         host_resident: bool = False,
         use_pallas_count: bool = False,
     ):
@@ -86,7 +106,7 @@ class MipsIndex:
         search time — for corpora larger than total HBM (e.g. 21M x 768
         bf16 = 32GB on chips with 16GB each). Per-block state (one upload
         per block per search call) trades bandwidth for capacity."""
-        assert method in ("auto", "approx", "exact_sort")
+        assert method in ("fused", "auto", "approx", "exact_sort")
         self.mesh = mesh
         self.dtype = dtype
         self.method = method
@@ -308,6 +328,153 @@ class MipsIndex:
         found_gt = jnp.sum(s > tau[:, None], axis=1)
         return s, i, cnt != found_gt
 
+    # ------------------------------------------------------------------ #
+    # fused pipeline (method="fused"): one unmasked approx sweep (XLA fuses
+    # the matmul into approx_max_k, scores never reach HBM), one Pallas
+    # matmul+group-count sweep, and an on-device rescue of the few corpus
+    # groups whose true counts disagree with the found candidates. Exact
+    # FAISS IndexFlatIP semantics (run_retrieval.py:48-57,97) in ~2
+    # matmul-bound passes with no score materialization.
+
+    def _fused_search_impl(self, emb, q, k, n_valid):
+        """Traceable verified-exact search. Returns (scores (B,k),
+        global indices (B,k), not_exact (B,) bool). Queries whose
+        exactness could not be proven on device (rescue budget overflow;
+        ~never in practice) are flagged for the host-side exact fallback.
+        """
+        from jax import shard_map
+
+        from dpr_scale_tpu.ops.mips_kernels import (
+            GROUP_ROWS,
+            GROUP_TILE_ROWS,
+            count_above_groups_kernel,
+        )
+
+        n_pad, D = emb.shape
+        B = q.shape[0]
+        rows_local = n_pad // self.ndev
+        group = GROUP_ROWS if rows_local % GROUP_ROWS == 0 else rows_local
+        ngroups_local = rows_local // group
+        ngroups = self.ndev * ngroups_local
+        kc = min(max(FUSED_KC, k), rows_local)
+        qd = q.astype(self.dtype)
+
+        # ---- pass 1: per-device approx candidates (no mask op: pad rows
+        # are exact-zero vectors, handled analytically below) ----
+        def local_approx(emb_l, qd):
+            s = jnp.dot(qd, emb_l.T, preferred_element_type=jnp.float32)
+            ts, ti = jax.lax.approx_max_k(s, kc)
+            shard = jax.lax.axis_index("data")
+            return ts, ti + shard * rows_local
+
+        cand_s, cand_i = shard_map(
+            local_approx,
+            mesh=self.mesh,
+            in_specs=(P("data", None), P(None, None)),
+            out_specs=(P(None, "data"), P(None, "data")),
+        )(emb, qd)  # (B, ndev*kc)
+        cand_s = jnp.where(cand_i < n_valid, cand_s, NEG_INF)  # mask pads
+        ms, _ = jax.lax.top_k(cand_s, k)
+        tau = ms[:, k - 1]
+
+        # ---- pass 2: exact per-group counts of scores > tau ----
+        use_pallas = (
+            group == GROUP_ROWS
+            and rows_local % GROUP_TILE_ROWS == 0
+            and (B % min(256, B) == 0)
+        )
+
+        def local_count(emb_l, qd, tau):
+            if use_pallas:
+                return count_above_groups_kernel(
+                    qd, emb_l, tau, interpret=jax.default_backend() == "cpu"
+                )
+            s = jnp.dot(qd, emb_l.T, preferred_element_type=jnp.float32)
+            return jnp.sum(
+                (s > tau[:, None]).astype(jnp.int32).reshape(
+                    B, ngroups_local, group
+                ),
+                axis=2,
+            )
+
+        cnt = shard_map(
+            local_count,
+            mesh=self.mesh,
+            in_specs=(P("data", None), P(None, None), P(None,)),
+            out_specs=P(None, "data"),
+            check_vma=not use_pallas,
+        )(emb, qd, tau)  # (B, ngroups)
+        # pad rows score exactly 0: subtract their analytic contribution
+        g_starts = np.arange(ngroups, dtype=np.int64) * group
+        pad_counts = jnp.asarray(
+            np.clip(
+                np.minimum(g_starts + group, n_pad) - np.maximum(g_starts, n_valid),
+                0,
+                group,
+            ).astype(np.int32)
+        )
+        cnt = cnt - jnp.where(tau[:, None] < 0.0, pad_counts[None, :], 0)
+
+        # ---- verification: per-group found counts vs true counts ----
+        gid = cand_i // group  # (B, C)
+        above = (cand_s > tau[:, None]).astype(jnp.int32)
+        found = (
+            jnp.zeros((B, ngroups), jnp.int32)
+            .at[jnp.arange(B)[:, None], gid]
+            .add(above)
+        )
+        diff = jnp.maximum(cnt - found, 0)  # missed elements per group
+
+        # ---- rescue: gather the P most-discrepant groups per query WHOLE
+        # and merge their exact contents. Whole-group replacement sidesteps
+        # both per-element dedupe and ulp-level disagreements between the
+        # three matmul orders (approx pass / count kernel / rescue einsum):
+        # a selected group is represented exactly by its rescue scores, an
+        # unselected group passed verification, so together every element
+        # above tau is present.
+        P_sel = min(RESCUE_GROUPS, ngroups)
+        dwork = diff
+        sel_g, sel_v = [], []
+        for _ in range(P_sel):  # iterative argmax: cheap vs sorting 4M diffs
+            g = jnp.argmax(dwork, axis=1)  # (B,)
+            v = jnp.take_along_axis(dwork, g[:, None], axis=1)[:, 0]
+            sel_g.append(g)
+            sel_v.append(v)
+            dwork = dwork.at[jnp.arange(B), g].set(-1)
+        sel_g = jnp.stack(sel_g, axis=1)  # (B, P) distinct groups
+        sel_v = jnp.stack(sel_v, axis=1)
+
+        # exactness: all discrepant groups of the query were selected
+        covered_q = jnp.sum(jnp.maximum(sel_v, 0), axis=1)
+        not_exact = jnp.sum(diff, axis=1) > covered_q
+
+        emb_g = emb.reshape(ngroups, group, D)
+        tiles = emb_g[sel_g]  # (B, P, group, D) gather
+        rs = jnp.einsum(
+            "bd,bpgd->bpg", qd, tiles, preferred_element_type=jnp.float32
+        )
+        row_global = (
+            sel_g[:, :, None] * group + jnp.arange(group)[None, None, :]
+        )
+        rs = jnp.where(row_global < n_valid, rs, NEG_INF)  # mask pad rows
+
+        # drop candidates living in selected groups (now represented
+        # exactly by the rescue), preventing duplicates without matching
+        in_sel = jnp.any(gid[:, :, None] == sel_g[:, None, :], axis=2)
+        cand_s = jnp.where(in_sel, NEG_INF, cand_s)
+
+        all_s = jnp.concatenate([cand_s, rs.reshape(B, P_sel * group)], axis=1)
+        all_i = jnp.concatenate(
+            [cand_i, row_global.reshape(B, P_sel * group)], axis=1
+        )
+        fs, fpos = jax.lax.top_k(all_s, k)
+        fi = jnp.take_along_axis(all_i, fpos, axis=1)
+        return fs, fi, not_exact
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _fused_search(self, emb, q, k, n_valid):
+        return self._fused_search_impl(emb, q, k, n_valid)
+
     def benchmark(self, queries_batches: np.ndarray, k: int = 100) -> dict:
         """On-device throughput of the verified-exact search pipeline.
 
@@ -325,7 +492,10 @@ class MipsIndex:
         @functools.partial(jax.jit, static_argnums=(3,))
         def run(qs, emb, valid, k):
             def body(_, q):
-                s, i, fail = self._verified_search_device(emb, valid, q, k)
+                if self.method == "fused":
+                    s, i, fail = self._fused_search_impl(emb, q, k, _n)
+                else:
+                    s, i, fail = self._verified_search_device(emb, valid, q, k)
                 return None, (s[:, 0].sum() + jnp.sum(i[:, 0]), fail)
 
             _, (csums, fails) = jax.lax.scan(body, None, qs)
@@ -415,7 +585,18 @@ class MipsIndex:
             out_i.append(np.asarray(ie)[:nfail])
         return np.concatenate(out_s), np.concatenate(out_i)
 
-    def _search_block(self, emb, valid, queries, k) -> Tuple[np.ndarray, np.ndarray]:
+    def _search_block(
+        self, emb, valid, queries, k, n_valid=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.method == "fused":
+            n = int(n_valid) if n_valid is not None else emb.shape[0]
+            s, i, not_exact = self._fused_search(emb, queries, k, n)
+            s, i = np.array(s), np.array(i)
+            fail_idx = np.nonzero(np.asarray(not_exact))[0]
+            if len(fail_idx):  # rescue budget overflow: host exact fallback
+                se, ie = self._exact_fallback(emb, valid, queries, k, fail_idx)
+                s[fail_idx], i[fail_idx] = se, ie
+            return s, i
         if self.method == "exact_sort":
             s, i = self._topk_block(emb, valid, queries, k, False)
             return np.asarray(s), np.asarray(i)
@@ -448,7 +629,7 @@ class MipsIndex:
             # never ask a block for more rows than every device holds
             k_block = min(k_eff, emb.shape[0] // self.ndev)
             emb_d, valid_d = self._materialize(emb, valid)
-            s, i = self._search_block(emb_d, valid_d, q, k_block)
+            s, i = self._search_block(emb_d, valid_d, q, k_block, n_valid=_n)
             del emb_d, valid_d  # host-resident mode: free HBM before next block
             i = i.astype(np.int64) + offset
             if k_block < k_eff:  # pad so merge shapes agree

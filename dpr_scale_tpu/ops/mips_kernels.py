@@ -85,6 +85,75 @@ def count_above_kernel(
     return out[:, 0]
 
 
+GROUP_ROWS = 256  # rescue granularity of the fused pipeline
+GROUP_TILE_ROWS = 2048  # corpus rows per grid step of the groups kernel
+# (fits VMEM: 2x3MB corpus double-buffer + 2MB scores + 2MB compare)
+
+
+def _count_groups_kernel(qt_ref, thr_ref, c_ref, out_ref):
+    # transposed scores: (TILE_ROWS, tile_b) fp32 on the MXU — row-major
+    # leading-dim reshape makes the per-512-row-group reduction free, and
+    # the (groups, tile_b) output block is lane-aligned
+    scores = jnp.dot(c_ref[:], qt_ref[:], preferred_element_type=jnp.float32)
+    above = (scores > thr_ref[:]).astype(jnp.int32)
+    g = GROUP_TILE_ROWS // GROUP_ROWS
+    out_ref[:] = jnp.sum(above.reshape(g, GROUP_ROWS, above.shape[1]), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "vma"))
+def count_above_groups_kernel(
+    queries: jax.Array,  # (B, D), B % TILE_B == 0 or B < TILE_B
+    corpus: jax.Array,  # (N, D) bf16/fp32, N % GROUP_TILE_ROWS == 0
+    thresholds: jax.Array,  # (B,) fp32
+    interpret: bool = False,
+    vma=None,  # mesh axes the output varies over when called inside shard_map
+) -> jax.Array:  # (B, N // GROUP_ROWS) int32 counts of scores > threshold
+    """Per-query, per-512-row-group exact count of scores above a threshold.
+
+    The verification + rescue pass of the fused exact-MIPS pipeline
+    (:meth:`dpr_scale_tpu.index.mips.MipsIndex`, method="fused"): one
+    matmul-bound sweep over the corpus whose only output is a tiny
+    (B, N/512) count matrix — group-level discrepancies against the
+    approx candidates point the rescue gather at exactly the corpus
+    groups holding missed elements. Replaces the reference's second
+    FAISS semantics guarantee (exact IndexFlatIP, run_retrieval.py:48-57)
+    without a second score materialization.
+    """
+    B, D = queries.shape
+    N = corpus.shape[0]
+    assert N % GROUP_TILE_ROWS == 0, f"corpus rows {N} must be a multiple of {GROUP_TILE_ROWS}"
+    tile_b = min(TILE_B, B)
+    assert B % tile_b == 0, f"batch {B} must be a multiple of {tile_b}"
+    g = GROUP_TILE_ROWS // GROUP_ROWS
+    n_groups = N // GROUP_ROWS
+    out_shape = (
+        jax.ShapeDtypeStruct((n_groups, B), jnp.int32, vma=frozenset(vma))
+        if vma
+        else jax.ShapeDtypeStruct((n_groups, B), jnp.int32)
+    )
+    out = pl.pallas_call(
+        _count_groups_kernel,
+        grid=(B // tile_b, N // GROUP_TILE_ROWS),
+        in_specs=[
+            pl.BlockSpec((D, tile_b), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (GROUP_TILE_ROWS, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        queries.astype(corpus.dtype).T,
+        thresholds[None, :].astype(jnp.float32),
+        corpus,
+    )
+    return out.T
+
+
 def _tile_max_kernel(q_ref, c_ref, out_ref):
     scores = jnp.dot(q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32)
     out_ref[:] = jnp.max(scores, axis=1, keepdims=True)

@@ -263,3 +263,135 @@ def test_trec_metrics_ndcg():
     dcg = 1 / np.log2(2) + 3 / np.log2(3)
     idcg = 3 / np.log2(2) + 1 / np.log2(3)
     np.testing.assert_allclose(m["ndcg_cut_3"], dcg / idcg)
+
+
+# --------------------------------------------------------------------- #
+# fused pipeline (method="fused")
+
+
+def test_fused_matches_numpy_and_blocks():
+    rng = np.random.default_rng(10)
+    corpus = rng.normal(size=(5000, 32)).astype(np.float32)
+    queries = rng.normal(size=(16, 32)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method="fused")
+    index.add(corpus)
+    s, i = index.search(queries, k=20)
+    es, ei = _np_topk(corpus, queries, 20)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=1e-5)
+
+
+def test_fused_negative_scores_exclude_pads():
+    """All-negative score case: zero-vector pad rows (score 0) must not
+    leak into the results (the analytic pad-count correction + candidate
+    index mask)."""
+    rng = np.random.default_rng(11)
+    corpus = -np.abs(rng.normal(size=(1000, 16))).astype(np.float32)
+    queries = np.abs(rng.normal(size=(8, 16))).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method="fused")
+    index.add(corpus)
+    s, i = index.search(queries, k=15)
+    assert (s < 0).all() and (i < 1000).all()
+    es, ei = _np_topk(corpus, queries, 15)
+    np.testing.assert_allclose(s, es, rtol=1e-5)
+
+
+def _drop_best_approx(n_drop):
+    """A degraded approx_max_k that drops the n_drop best entries —
+    simulates the TPU PartialReduce boundary misses deterministically."""
+    import jax
+
+    def fake(operand, k, **kwargs):
+        kk = min(k + n_drop, operand.shape[-1])
+        ts, ti = jax.lax.top_k(operand, kk)
+        return ts[..., kk - k:], ti[..., kk - k:]
+
+    return fake
+
+
+def test_fused_rescue_recovers_missed_candidates(monkeypatch):
+    """Force pass-1 to miss each query's true best element; the per-group
+    count diff must locate it and the on-device rescue must restore exact
+    results without the host fallback."""
+    import jax
+
+    rng = np.random.default_rng(12)
+    corpus = rng.normal(size=(4096, 16)).astype(np.float32)
+    queries = rng.normal(size=(8, 16)).astype(np.float32)
+    # 1-device mesh: the degraded approx drops exactly one element per
+    # query (the pass runs per shard), landing in at most one group
+    index = MipsIndex(get_mesh(1), dtype=jnp.float32, method="fused")
+    index.add(corpus)
+    monkeypatch.setattr(jax.lax, "approx_max_k", _drop_best_approx(1))
+    s, i, not_exact = index._fused_search(*index._blocks[0][:1],
+                                          jnp.asarray(queries), 10, 4096)
+    assert not np.asarray(not_exact).any()
+    es, ei = _np_topk(corpus, queries, 10)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+    np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5)
+
+
+def test_fused_rescue_deep_group_recovered(monkeypatch):
+    """A group missing MANY elements is rescued whole — no fallback needed
+    (whole-group replacement has no per-group depth budget)."""
+    import jax
+
+    rng = np.random.default_rng(13)
+    # strong cluster: the true top-50 all live in rows 0..63 (one group)
+    corpus = rng.normal(size=(2048, 16)).astype(np.float32)
+    v = rng.normal(size=(16,)).astype(np.float32)
+    corpus[:64] = v[None, :] * np.linspace(20, 10, 64)[:, None]
+    queries = np.tile(v, (4, 1)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method="fused")
+    index.add(corpus)
+    monkeypatch.setattr(jax.lax, "approx_max_k", _drop_best_approx(40))
+    s, i, not_exact = index._fused_search(*index._blocks[0][:1],
+                                          jnp.asarray(queries), 8, 2048)
+    assert not np.asarray(not_exact).any()
+    es, ei = _np_topk(corpus, queries, 8)
+    np.testing.assert_array_equal(np.asarray(i), ei)
+    np.testing.assert_allclose(np.asarray(s), es, rtol=2e-5)
+
+
+def test_fused_too_many_groups_falls_back(monkeypatch):
+    """A query with more discrepant groups than the per-query rescue
+    budget (RESCUE_GROUPS) is flagged not_exact; search() repairs it with
+    the host exact fallback."""
+    import jax
+
+    from dpr_scale_tpu.index.mips import RESCUE_GROUPS
+    from dpr_scale_tpu.ops.mips_kernels import GROUP_ROWS
+
+    rng = np.random.default_rng(14)
+    n_planted = RESCUE_GROUPS + 2
+    corpus = rng.normal(size=(8 * 1024, 16)).astype(np.float32)
+    v = rng.normal(size=(16,)).astype(np.float32)
+    # plant the true top rows one per corpus group
+    for j in range(n_planted + 4):
+        corpus[j * GROUP_ROWS] = v * (30 - j)
+    queries = np.tile(v, (4, 1)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method="fused")
+    index.add(corpus)
+    monkeypatch.setattr(jax.lax, "approx_max_k", _drop_best_approx(n_planted))
+    s, i = index.search(queries, k=4)
+    es, ei = _np_topk(corpus, queries, 4)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=2e-5)
+
+
+def test_fused_group_count_kernel_matches_numpy():
+    from dpr_scale_tpu.ops.mips_kernels import GROUP_ROWS, count_above_groups_kernel
+
+    rng = np.random.default_rng(14)
+    corpus = rng.normal(size=(8192, 16)).astype(np.float32)
+    queries = rng.normal(size=(8, 16)).astype(np.float32)
+    tau = rng.normal(size=(8,)).astype(np.float32)
+    cnt = np.asarray(
+        count_above_groups_kernel(
+            jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(tau),
+            interpret=True,
+        )
+    )
+    scores = queries @ corpus.T
+    true_cnt = (scores > tau[:, None]).reshape(8, -1, GROUP_ROWS).sum(2)
+    np.testing.assert_array_equal(cnt, true_cnt)
