@@ -82,6 +82,9 @@ def build_task(
     t = cfg.task
     mesh = mesh if mesh is not None else get_mesh(n_devices)
     task_type = t.get("type", "dense")
+    # ZeRO-1 optimizer-state sharding — the reference's fairscale
+    # ``strategy: ddp_sharded`` (conf/trainer/slurm.yaml:14, nq.yaml:30)
+    zero1 = cfg.trainer.get("strategy", "ddp") in ("ddp_sharded", "zero1")
     if task_type == "multivec":
         from dpr_scale_tpu.train.multivec import MultiVecRetrieverTask
 
@@ -111,6 +114,7 @@ def build_task(
             max_epochs=cfg.trainer.get("max_epochs", 1),
             optimizer=optimizer,
             mesh=mesh,
+            zero1=zero1,
         )
     if task_type == "distill":
         from dpr_scale_tpu.train.distill import DPRDistillTask
@@ -121,6 +125,7 @@ def build_task(
             k=t.get("k", 1),
             optimizer=optimizer,
             mesh=mesh,
+            zero1=zero1,
         )
     return DenseRetrieverTask(
         cfg=build_model_config(cfg),
@@ -133,6 +138,7 @@ def build_task(
         encoder_family=t.model.get("family", "dense"),
         optimizer=optimizer,
         mesh=mesh,
+        zero1=zero1,
     )
 
 

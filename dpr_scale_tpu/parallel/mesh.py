@@ -40,6 +40,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def zero1_shardings(opt_state, mesh: Mesh, axis_name: str = "data"):
+    """ZeRO-1 sharding rules for an optax optimizer state.
+
+    Each array leaf (AdamW/MADGRAD moments, MultiSteps accumulators) is
+    sharded over the mesh's data axis along its largest evenly divisible
+    dimension; scalars and indivisible leaves stay replicated. With params
+    replicated and gradients already all-reduced by GSPMD, this makes the
+    optimizer update compute shard-wise and all-gather only the param
+    deltas — the fairscale ``ddp_sharded``/OSS semantics the reference
+    trains with (conf/trainer/slurm.yaml:14), with per-device moment
+    memory cut by ~mesh size.
+    """
+    n = mesh.devices.size
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", None)
+        if shape:
+            axes = sorted(range(len(shape)), key=lambda a: -shape[a])
+            for ax in axes:
+                if shape[ax] >= n and shape[ax] % n == 0:
+                    spec = [None] * len(shape)
+                    spec[ax] = axis_name
+                    return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, opt_state)
+
+
+def place_opt_state(opt_state, mesh: Mesh, zero1: bool, axis_name: str = "data"):
+    """Device-put an optimizer state replicated or ZeRO-1 sharded; returns
+    (placed_state, shardings or None)."""
+    if not zero1:
+        return jax.device_put(opt_state, replicated(mesh)), None
+    shardings = zero1_shardings(opt_state, mesh, axis_name)
+    return (
+        jax.tree_util.tree_map(jax.device_put, opt_state, shardings),
+        shardings,
+    )
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Device-put every array in the batch with its leading axis sharded.
 

@@ -13,7 +13,12 @@ import optax
 
 from dpr_scale_tpu.models.encoder import DenseEncoder
 from dpr_scale_tpu.models.transformer import TransformerConfig
-from dpr_scale_tpu.parallel.mesh import get_mesh, replicated, shard_batch
+from dpr_scale_tpu.parallel.mesh import (
+    get_mesh,
+    place_opt_state,
+    replicated,
+    shard_batch,
+)
 from dpr_scale_tpu.train.loss import rank_metrics
 from dpr_scale_tpu.train.task import TrainState
 
@@ -25,6 +30,7 @@ class DPRDistillTask:
     k: int = 1
     optimizer: Optional[optax.GradientTransformation] = None
     mesh: Optional[Any] = None
+    zero1: bool = False  # ZeRO-1 optimizer-state sharding
 
     def __post_init__(self):
         self.model = DenseEncoder(self.cfg, projection_dim=self.projection_dim)
@@ -34,6 +40,7 @@ class DPRDistillTask:
             self.mesh = get_mesh()
         self._train_step = None
         self._eval_step = None
+        self._opt_shardings = None
 
     def init_state(self, rng, example_batch) -> TrainState:
         params_rng, dropout_rng = jax.random.split(rng)
@@ -43,13 +50,15 @@ class DPRDistillTask:
             jnp.asarray(example_batch["query_mask"]),
         )
         params = variables["params"]
-        state = TrainState(
-            params=params,
-            opt_state=self.optimizer.init(params),
-            step=jnp.zeros([], jnp.int32),
-            dropout_rng=dropout_rng,
+        opt_state, self._opt_shardings = place_opt_state(
+            self.optimizer.init(params), self.mesh, self.zero1
         )
-        return jax.device_put(state, replicated(self.mesh))
+        return TrainState(
+            params=jax.device_put(params, replicated(self.mesh)),
+            opt_state=opt_state,
+            step=jax.device_put(jnp.zeros([], jnp.int32), replicated(self.mesh)),
+            dropout_rng=jax.device_put(dropout_rng, replicated(self.mesh)),
+        )
 
     def shard(self, batch):
         return shard_batch(batch, self.mesh)
@@ -73,6 +82,10 @@ class DPRDistillTask:
             rng = jax.random.fold_in(state.dropout_rng, state.step)
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
             updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
+            if self._opt_shardings is not None:  # keep moments ZeRO-sharded
+                new_opt = jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint, new_opt, self._opt_shardings
+                )
             new_params = optax.apply_updates(state.params, updates)
             return (
                 state.replace(params=new_params, opt_state=new_opt, step=state.step + 1),

@@ -28,7 +28,12 @@ import optax
 
 from dpr_scale_tpu.models.multivec import MultiVecEncoder
 from dpr_scale_tpu.models.transformer import TransformerConfig
-from dpr_scale_tpu.parallel.mesh import get_mesh, replicated, shard_batch
+from dpr_scale_tpu.parallel.mesh import (
+    get_mesh,
+    place_opt_state,
+    replicated,
+    shard_batch,
+)
 from dpr_scale_tpu.train.loss import NEG_INF, rank_metrics
 from dpr_scale_tpu.train.task import TrainState
 
@@ -222,6 +227,7 @@ class MultiVecRetrieverTask:
     max_epochs: int = 1
     optimizer: Optional[optax.GradientTransformation] = None
     mesh: Optional[Any] = None
+    zero1: bool = False  # ZeRO-1 optimizer-state sharding
 
     def __post_init__(self):
         self.model = MultiVecEncoder(
@@ -236,6 +242,7 @@ class MultiVecRetrieverTask:
             self.mesh = get_mesh()
         self._train_step = None
         self._eval_step = None
+        self._opt_shardings = None
 
     # -------------------------------------------------------------- #
 
@@ -359,13 +366,15 @@ class MultiVecRetrieverTask:
             add_cls=self.add_cls,
         )
         params = variables["params"]
-        state = TrainState(
-            params=params,
-            opt_state=self.optimizer.init(params),
-            step=jnp.zeros([], jnp.int32),
-            dropout_rng=dropout_rng,
+        opt_state, self._opt_shardings = place_opt_state(
+            self.optimizer.init(params), self.mesh, self.zero1
         )
-        return jax.device_put(state, replicated(self.mesh))
+        return TrainState(
+            params=jax.device_put(params, replicated(self.mesh)),
+            opt_state=opt_state,
+            step=jax.device_put(jnp.zeros([], jnp.int32), replicated(self.mesh)),
+            dropout_rng=jax.device_put(dropout_rng, replicated(self.mesh)),
+        )
 
     def load_params(self, state: TrainState, params) -> TrainState:
         return state.replace(params=jax.device_put(params, replicated(self.mesh)))
@@ -394,6 +403,10 @@ class MultiVecRetrieverTask:
                 state.params, batch, step_rng, epoch
             )
             updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
+            if self._opt_shardings is not None:  # keep moments ZeRO-sharded
+                new_opt = jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint, new_opt, self._opt_shardings
+                )
             new_params = optax.apply_updates(state.params, updates)
             metrics["train_loss"] = loss
             return (

@@ -25,7 +25,13 @@ import optax
 
 from dpr_scale_tpu.models.encoder import BiEncoder
 from dpr_scale_tpu.models.transformer import TransformerConfig
-from dpr_scale_tpu.parallel.mesh import batch_sharding, get_mesh, replicated, shard_batch
+from dpr_scale_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    place_opt_state,
+    replicated,
+    shard_batch,
+)
 from dpr_scale_tpu.train.loss import contrastive_loss, rank_metrics, similarity_scores
 
 
@@ -51,6 +57,8 @@ class DenseRetrieverTask:
     encoder_family: str = "dense"  # "dense" (CLS BiEncoder) | "splade"
     optimizer: Optional[optax.GradientTransformation] = None
     mesh: Optional[Any] = None
+    zero1: bool = False  # ZeRO-1 optimizer-state sharding (reference
+    # fairscale ddp_sharded, conf/trainer/slurm.yaml:14)
 
     def __post_init__(self):
         if self.encoder_family == "splade":
@@ -67,6 +75,7 @@ class DenseRetrieverTask:
             self.mesh = get_mesh()
         self._train_step = None
         self._eval_step = None
+        self._opt_shardings = None
 
     # ------------------------------------------------------------------ #
 
@@ -81,14 +90,15 @@ class DenseRetrieverTask:
             deterministic=True,
         )
         params = variables["params"]
-        state = TrainState(
-            params=params,
-            opt_state=self.optimizer.init(params),
-            step=jnp.zeros([], jnp.int32),
-            dropout_rng=dropout_rng,
+        opt_state, self._opt_shardings = place_opt_state(
+            self.optimizer.init(params), self.mesh, self.zero1
         )
-        # replicate across the mesh
-        return jax.device_put(state, replicated(self.mesh))
+        return TrainState(
+            params=jax.device_put(params, replicated(self.mesh)),
+            opt_state=opt_state,
+            step=jax.device_put(jnp.zeros([], jnp.int32), replicated(self.mesh)),
+            dropout_rng=jax.device_put(dropout_rng, replicated(self.mesh)),
+        )
 
     def load_params(self, state: TrainState, params) -> TrainState:
         """Warm-start params (reference pretrained_checkpoint_path, :73-79)."""
@@ -130,6 +140,12 @@ class DenseRetrieverTask:
             updates, new_opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
+            if self._opt_shardings is not None:  # keep moments ZeRO-sharded
+                new_opt_state = jax.tree_util.tree_map(
+                    jax.lax.with_sharding_constraint,
+                    new_opt_state,
+                    self._opt_shardings,
+                )
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(
                 params=new_params, opt_state=new_opt_state, step=state.step + 1
