@@ -32,7 +32,11 @@ _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 
 def build_tokenizer(cfg: Config) -> HFTokenizer:
     t = cfg.task.transform
-    return HFTokenizer(t.model_path, max_seq_len=t.get("max_seq_len", 256))
+    return HFTokenizer(
+        t.model_path,
+        max_seq_len=t.get("max_seq_len", 256),
+        pad_to_multiple=t.get("pad_to_multiple", 0),
+    )
 
 
 def build_model_config(cfg: Config) -> TransformerConfig:
@@ -178,6 +182,7 @@ def build_datamodule(cfg: Config, tokenizer: HFTokenizer):
         drop_last=d.get("drop_last", True),
         seed=d.get("seed", 0),
         prefetch_batches=d.get("prefetch_batches", 2),
+        num_workers=d.get("num_workers", 0),
         contiguous_chunks=d.get("contiguous_chunks", 0),
         query_max_seq_len=d.get("query_max_seq_len"),
         ctx_max_seq_len=d.get("ctx_max_seq_len"),

@@ -67,6 +67,7 @@ def main(argv=None):
         d["passages_path"],
         batch_size=d.get("encode_batch_size", 64),
         use_title=d.get("use_title", True),
+        num_workers=d.get("num_workers", 0),
         sep_token=d.get("sep_token"),
     )
     shard = cfg.task.get("shard", 0)

@@ -23,6 +23,15 @@ from dpr_scale_tpu.utils.logging import MetricLogger
 
 
 def main(argv=None):
+    import os
+
+    # escape hatch for CPU smoke runs / sweep subprocesses in environments
+    # whose sitecustomize pre-selects an accelerator platform (the plain
+    # JAX_PLATFORMS env var is consumed before we run; the live config
+    # still wins as long as no computation has executed)
+    if os.environ.get("DPR_FORCE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["DPR_FORCE_PLATFORM"])
+
     from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -33,6 +42,11 @@ def main(argv=None):
         "--resume",
         action="store_true",
         help="restore the last checkpoint and continue training",
+    )
+    parser.add_argument(
+        "--metrics-out",
+        default=None,
+        help="write the final test metrics as JSON (used by cli.sweep)",
     )
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = parser.parse_args(argv)
@@ -108,14 +122,25 @@ def main(argv=None):
         except FileNotFoundError:
             print("No last checkpoint found; starting fresh")
 
+    def write_metrics(metrics):
+        if args.metrics_out and metrics is not None:
+            import json
+            import os as _os
+
+            _os.makedirs(_os.path.dirname(args.metrics_out) or ".", exist_ok=True)
+            with open(args.metrics_out, "w") as f:
+                json.dump({k: float(v) for k, v in metrics.items()}, f)
+
     if args.test_only:
         metrics = trainer.test(state, restore_best=False)
         print("test metrics:", metrics)
+        write_metrics(metrics)
         return metrics
 
     state = trainer.fit(state)
     metrics = trainer.test(state)
     print("test metrics (best ckpt):", metrics)
+    write_metrics(metrics)
 
     # params-only export of the best checkpoint for the encode/retrieve CLIs
     if checkpoint is not None:

@@ -100,6 +100,16 @@ def parse_overrides(args: Sequence[str]) -> Dict:
             raise ValueError(f"override must look like key=value: {arg!r}")
         key, _, raw = arg.partition("=")
         value = yaml.safe_load(raw) if raw != "" else None
+        if isinstance(value, str):
+            # YAML 1.1 only floats mantissas with a dot, so "1e-3" (a very
+            # common CLI form, hydra accepts it) would stay a string
+            try:
+                value = int(value)
+            except ValueError:
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
         out = deep_merge(out, _nest(key.split("."), value))
     return out
 

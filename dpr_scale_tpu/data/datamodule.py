@@ -71,6 +71,7 @@ class DenseRetrieverDataModule:
         contiguous_chunks: int = 0,
         query_max_seq_len: Optional[int] = None,
         ctx_max_seq_len: Optional[int] = None,
+        num_workers: int = 0,
     ):
         self.tokenizer = tokenizer
         corpus = MemoryMappedDataset(corpus_path, header=True) if corpus_path else None
@@ -101,6 +102,35 @@ class DenseRetrieverDataModule:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.contiguous_chunks = contiguous_chunks
+        # multiprocess batch building (the reference's broken num_workers,
+        # dpr.py:292); workers rebuild this datamodule from the spec below
+        self.num_workers = num_workers
+        self._pool = None
+        self._worker_spec = {
+            "tokenizer": tokenizer.spec,
+            "kwargs": dict(
+                train_path=train_path,
+                val_path=val_path,
+                test_path=test_path,
+                corpus_path=corpus_path,
+                batch_size=batch_size,
+                val_batch_size=val_batch_size,
+                test_batch_size=test_batch_size,
+                num_positive=num_positive,
+                num_negative=num_negative,
+                neg_ctx_sample=neg_ctx_sample,
+                pos_ctx_sample=pos_ctx_sample,
+                num_val_negative=num_val_negative,
+                num_test_negative=num_test_negative,
+                use_title=use_title,
+                sep_token=sep_token,
+                rel_sample=rel_sample,
+                drop_last=drop_last,
+                seed=seed,
+                query_max_seq_len=query_max_seq_len,
+                ctx_max_seq_len=ctx_max_seq_len,
+            ),
+        }
 
         def open_train(path):
             if path is None:
@@ -121,14 +151,48 @@ class DenseRetrieverDataModule:
         n = len(self.train_dataset)
         return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
 
+    def build_batch_for(self, stage: str, idx: Sequence[int]) -> Dict[str, np.ndarray]:
+        """Assemble one batch by dataset indices (also the worker entry)."""
+        dataset = {
+            "train": self.train_dataset,
+            "eval": self.val_dataset,
+            "test": self.test_dataset,
+        }[stage]
+        rows = [dataset[int(i)] for i in idx]
+        return self.batcher(self.builder.build_batch(rows, stage))
+
+    def _get_pool(self):
+        if self._pool is None:
+            from dpr_scale_tpu.data.parallel import WorkerPool
+
+            self._pool = WorkerPool(
+                self.num_workers, _rebuild_dense_dm, self._worker_spec
+            )
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def _batch_indices(self, order, batch_size, stage):
+        for lo in range(0, len(order), batch_size):
+            idx = order[lo : lo + batch_size]
+            if stage == "train" and self.drop_last and len(idx) < batch_size:
+                return
+            yield [int(i) for i in idx]
+
     def _iter(self, dataset, order, batch_size, stage) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers > 0:
+            gen = self._get_pool().imap(
+                "build_batch_for",
+                ((stage, idx) for idx in self._batch_indices(order, batch_size, stage)),
+            )
+            return prefetch(gen, self.prefetch_batches)
+
         def gen():
-            for lo in range(0, len(order), batch_size):
-                idx = order[lo : lo + batch_size]
-                if stage == "train" and self.drop_last and len(idx) < batch_size:
-                    return
-                rows = [dataset[int(i)] for i in idx]
-                yield self.batcher(self.builder.build_batch(rows, stage))
+            for idx in self._batch_indices(order, batch_size, stage):
+                yield self.build_batch_for(stage, idx)
 
         return prefetch(gen(), self.prefetch_batches)
 
@@ -253,34 +317,61 @@ class PassagesDataModule:
         use_title: bool = True,
         sep_token: Optional[str] = None,
         prefetch_batches: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = CSVDataset(passages_path)
         self.batcher = TextBatcher(tokenizer, use_title=use_title, sep_token=sep_token)
         self.batch_size = batch_size
         self.prefetch_batches = prefetch_batches
+        self.num_workers = num_workers
+        self._pool = None
+        self._worker_spec = {
+            "tokenizer": tokenizer.spec,
+            "kwargs": dict(
+                passages_path=passages_path,
+                batch_size=batch_size,
+                use_title=use_title,
+                sep_token=sep_token,
+            ),
+        }
 
     def __len__(self):
         return len(self.dataset)
+
+    def passages_batch_for(self, lo: int, hi: int) -> Dict[str, np.ndarray]:
+        """Build one padded batch from dataset rows [lo, hi) (worker entry)."""
+        buf = [self.dataset[i] for i in range(lo, hi)]
+        pad = self.batch_size - len(buf)
+        out = self.batcher.passages(buf + [buf[-1]] * pad if pad else buf)
+        out["pad_count"] = np.int32(pad)
+        return out
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
 
     def batches(
         self, shard: int = 0, num_shards: int = 1
     ) -> Iterator[Dict[str, np.ndarray]]:
         rows_range = contiguous_shard(len(self.dataset), shard, num_shards)
+        spans = [
+            (lo, min(lo + self.batch_size, rows_range.stop))
+            for lo in range(rows_range.start, rows_range.stop, self.batch_size)
+        ]
+        if self.num_workers > 0:
+            if self._pool is None:
+                from dpr_scale_tpu.data.parallel import WorkerPool
+
+                self._pool = WorkerPool(
+                    self.num_workers, _rebuild_passages_dm, self._worker_spec
+                )
+            gen = self._pool.imap("passages_batch_for", spans)
+            return prefetch(gen, self.prefetch_batches)
 
         def gen():
-            buf: List[dict] = []
-            for i in rows_range:
-                buf.append(self.dataset[i])
-                if len(buf) == self.batch_size:
-                    out = self.batcher.passages(buf)
-                    out["pad_count"] = np.int32(0)
-                    yield out
-                    buf = []
-            if buf:
-                pad = self.batch_size - len(buf)
-                out = self.batcher.passages(buf + [buf[-1]] * pad)
-                out["pad_count"] = np.int32(pad)
-                yield out
+            for lo, hi in spans:
+                yield self.passages_batch_for(lo, hi)
 
         return prefetch(gen(), self.prefetch_batches)
 
@@ -326,3 +417,16 @@ class QueriesDataModule:
                 yield out
 
         return prefetch(gen(), self.prefetch_batches)
+
+
+def _rebuild_dense_dm(spec: dict) -> "DenseRetrieverDataModule":
+    """Worker-side factory: rebuild a serial datamodule from its spec."""
+    tok = HFTokenizer(**spec["tokenizer"])
+    return DenseRetrieverDataModule(
+        tok, **spec["kwargs"], num_workers=0, prefetch_batches=0
+    )
+
+
+def _rebuild_passages_dm(spec: dict) -> "PassagesDataModule":
+    tok = HFTokenizer(**spec["tokenizer"])
+    return PassagesDataModule(tok, **spec["kwargs"], num_workers=0, prefetch_batches=0)

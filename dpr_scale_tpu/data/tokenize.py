@@ -21,12 +21,32 @@ class HFTokenizer:
         model_path: str,
         max_seq_len: int = 256,
         add_special_tokens: bool = True,
+        pad_to_multiple: int = 0,
     ):
+        """``pad_to_multiple > 0`` enables length bucketing: each batch is
+        padded to the longest sequence rounded up to the next multiple,
+        capped at ``max_seq_len``. This recovers most of the reference's
+        longest-in-batch padding economics (hf_transform.py:33) while
+        keeping the number of distinct XLA programs bounded by
+        ``max_seq_len / pad_to_multiple`` (dynamic shapes would recompile
+        per batch). 0 = always pad to ``max_seq_len`` (single program)."""
         from transformers import AutoTokenizer
 
         self.tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=True)
+        self.model_path = model_path
         self.max_seq_len = max_seq_len
         self.add_special_tokens = add_special_tokens
+        self.pad_to_multiple = pad_to_multiple
+
+    @property
+    def spec(self) -> dict:
+        """Constructor kwargs for rebuilding in a worker process."""
+        return {
+            "model_path": self.model_path,
+            "max_seq_len": self.max_seq_len,
+            "add_special_tokens": self.add_special_tokens,
+            "pad_to_multiple": self.pad_to_multiple,
+        }
 
     @property
     def sep_token(self) -> str:
@@ -42,23 +62,33 @@ class HFTokenizer:
         text_pairs: Optional[Sequence[str]] = None,
         max_seq_len: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Tokenize to fixed-shape (ids, attention_mask) int32 arrays."""
+        """Tokenize to (ids, attention_mask) int32 arrays — fixed shape, or
+        bucketed when ``pad_to_multiple`` is set."""
         msl = max_seq_len or self.max_seq_len
+        bucketed = self.pad_to_multiple > 0
         enc = self.tokenizer(
             list(texts),
             text_pair=list(text_pairs) if text_pairs is not None else None,
             add_special_tokens=self.add_special_tokens,
             truncation=True,
             max_length=msl,
-            padding="max_length",
+            padding="longest" if bucketed else "max_length",
             return_attention_mask=True,
             return_token_type_ids=False,
             return_tensors="np",
         )
-        return (
-            enc["input_ids"].astype(np.int32),
-            enc["attention_mask"].astype(np.int32),
-        )
+        ids = enc["input_ids"].astype(np.int32)
+        mask = enc["attention_mask"].astype(np.int32)
+        if bucketed:
+            m = self.pad_to_multiple
+            target = min(msl, -(-ids.shape[1] // m) * m)
+            pad = target - ids.shape[1]
+            if pad > 0:
+                ids = np.pad(
+                    ids, ((0, 0), (0, pad)), constant_values=self.pad_token_id
+                )
+                mask = np.pad(mask, ((0, 0), (0, pad)), constant_values=0)
+        return ids, mask
 
     def token_ids(self, text: str, max_seq_len: Optional[int] = None) -> List[int]:
         msl = max_seq_len or self.max_seq_len

@@ -142,8 +142,11 @@ class MipsIndex:
         valid = np.zeros((n_pad, 1), dtype=np.bool_)
         valid[:n] = True
         if self.host_resident:
-            # pre-convert once on host; upload happens per search call
-            host_emb = np.asarray(jnp.asarray(emb, self.dtype))
+            # pre-convert once ON HOST (np supports bf16 via ml_dtypes — a
+            # jnp conversion would round-trip the accelerator, which over a
+            # tunneled deployment means a pathological download); upload
+            # happens per search call, pipelined against compute
+            host_emb = np.ascontiguousarray(emb.astype(np.dtype(self.dtype)))
             self._blocks.append((host_emb, valid, n, self._total_rows))
             self._total_rows += n
             return
@@ -625,10 +628,15 @@ class MipsIndex:
             NamedSharding(self.mesh, P(None, None)),
         )
         per_block_s, per_block_i = [], []
-        for emb, valid, _n, offset in self._blocks:
+        # host-resident mode: pipeline the next block's host->device upload
+        # against the current block's search (device_put is async)
+        next_dev = self._materialize(*self._blocks[0][:2])
+        for bi, (emb, valid, _n, offset) in enumerate(self._blocks):
             # never ask a block for more rows than every device holds
             k_block = min(k_eff, emb.shape[0] // self.ndev)
-            emb_d, valid_d = self._materialize(emb, valid)
+            emb_d, valid_d = next_dev
+            if bi + 1 < len(self._blocks):
+                next_dev = self._materialize(*self._blocks[bi + 1][:2])
             s, i = self._search_block(emb_d, valid_d, q, k_block, n_valid=_n)
             del emb_d, valid_d  # host-resident mode: free HBM before next block
             i = i.astype(np.int64) + offset

@@ -163,3 +163,52 @@ def test_train_cli_smoke(dpr10_jsonl, tiny_bert_dir, tmp_path, capsys):
     assert metrics and "mrr" in metrics
     assert 0.0 < metrics["mrr"] <= 1.0
     assert (tmp_path / "ckpt" / "last").exists()
+
+
+def test_sweep_expand_overrides():
+    from dpr_scale_tpu.cli.sweep import expand_overrides
+
+    runs, axes = expand_overrides(
+        ["task.optim.lr=1e-5,3e-5", "datamodule.batch_size=4", "a.b=[1,2]"]
+    )
+    assert axes == ["task.optim.lr"]
+    assert runs == [
+        ["datamodule.batch_size=4", "a.b=[1,2]", "task.optim.lr=1e-5"],
+        ["datamodule.batch_size=4", "a.b=[1,2]", "task.optim.lr=3e-5"],
+    ]
+    runs2, axes2 = expand_overrides(["x=1,2", "y=a,b"])
+    assert len(runs2) == 4 and axes2 == ["x", "y"]
+    runs3, axes3 = expand_overrides(["x=7"])
+    assert runs3 == [["x=7"]] and axes3 == []
+
+
+def test_sweep_cli_end_to_end(dpr10_jsonl, tiny_bert_dir, tmp_path, monkeypatch):
+    """Multirun analog of reference `main.py -m` (hydra multirun +
+    submitit launcher): 2-point lr axis, each run in its own subprocess
+    with its own checkpoint dir; summary picks a best run."""
+    import json as _json
+
+    from dpr_scale_tpu.cli.sweep import main as sweep_main
+
+    monkeypatch.setenv("DPR_FORCE_PLATFORM", "cpu")
+    sweep_dir = tmp_path / "sweep"
+    results = sweep_main(
+        [
+            "--config", os.path.join(CONF, "tiny_smoke.yaml"),
+            "--sweep-dir", str(sweep_dir),
+            "--monitor", "mrr",
+            "task.optim.lr=1e-3,3e-3",
+            f"task.transform.model_path={tiny_bert_dir}",
+            f"datamodule.train_path={dpr10_jsonl}",
+            f"datamodule.val_path={dpr10_jsonl}",
+            f"datamodule.test_path={dpr10_jsonl}",
+            "trainer.max_epochs=1",
+        ]
+    )
+    assert len(results) == 2
+    for idx, _ovs, metrics in results:
+        assert metrics is not None and "mrr" in metrics, f"run {idx} failed"
+        assert (sweep_dir / f"run_{idx:03d}" / "metrics.json").exists()
+        assert (sweep_dir / f"run_{idx:03d}" / "ckpt" / "last").exists()
+    best = _json.load(open(sweep_dir / "best.json"))
+    assert best["run"] in (0, 1) and best["monitor"] == "mrr"

@@ -146,3 +146,74 @@ def test_text_batcher(dpr10_tsv, tokenizer):
     out = tb.passages(rows)
     assert out["input_ids"].shape == (4, 16)
     assert out["corpus_ids"].tolist() == ["0", "1", "2", "3"]
+
+
+def test_passages_datamodule_workers_match_serial(dpr10_tsv, tokenizer):
+    """Fork-worker batch building is bit-identical to serial assembly
+    (deterministic path: no sampling)."""
+    from dpr_scale_tpu.data.datamodule import PassagesDataModule
+
+    serial = PassagesDataModule(tokenizer, dpr10_tsv, batch_size=4)
+    par = PassagesDataModule(tokenizer, dpr10_tsv, batch_size=4, num_workers=2)
+    bs = list(serial.batches())
+    bp = list(par.batches())
+    par.close()
+    assert len(bs) == len(bp) == 3
+    for a, b in zip(bs, bp):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_dense_datamodule_workers_eval_match_serial(dpr10_jsonl, tokenizer):
+    """Eval batches (no sampling) from fork workers match serial exactly;
+    train batches keep shape/count invariants."""
+    from dpr_scale_tpu.data.datamodule import DenseRetrieverDataModule
+
+    kwargs = dict(
+        train_path=dpr10_jsonl, val_path=dpr10_jsonl, batch_size=5,
+        num_negative=2, num_val_negative=1, neg_ctx_sample=False, seed=0,
+    )
+    serial = DenseRetrieverDataModule(tokenizer, **kwargs)
+    par = DenseRetrieverDataModule(tokenizer, num_workers=2, **kwargs)
+    es = list(serial.val_batches())
+    ep = list(par.val_batches())
+    assert len(es) == len(ep) == 2
+    for a, b in zip(es, ep):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    ts = list(par.train_batches(epoch=0))
+    par.close()
+    assert len(ts) == 2
+    for t in ts:
+        assert t["query_ids"].shape[0] == 5
+        assert t["contexts_ids"].shape[0] == 5 * 3  # 1 pos + 2 neg
+
+
+def test_tokenizer_length_bucketing(tiny_bert_dir):
+    """pad_to_multiple buckets batch length to the next multiple (capped at
+    max_seq_len), with token content identical to the fixed-shape prefix —
+    the bounded-recompile version of the reference's longest-in-batch
+    padding (hf_transform.py:33)."""
+    from dpr_scale_tpu.data.tokenize import HFTokenizer
+
+    fixed = HFTokenizer(tiny_bert_dir, max_seq_len=16)
+    buck = HFTokenizer(tiny_bert_dir, max_seq_len=16, pad_to_multiple=4)
+
+    short = ["a b", "c d e"]
+    ids_f, mask_f = fixed(short)
+    ids_b, mask_b = buck(short)
+    assert ids_f.shape == (2, 16)
+    assert ids_b.shape[1] % 4 == 0 and ids_b.shape[1] < 16
+    L = ids_b.shape[1]
+    np.testing.assert_array_equal(ids_f[:, :L], ids_b)
+    np.testing.assert_array_equal(mask_f[:, :L], mask_b)
+    assert (ids_f[:, L:] == fixed.pad_token_id).all()
+
+    # long inputs still cap at max_seq_len
+    long = ["a b c d e f g h i j k l m n o p q r s t" * 3]
+    ids_long, _ = buck(long)
+    assert ids_long.shape[1] == 16
+
+    # worker spec round-trips the bucketing config
+    assert HFTokenizer(**buck.spec).pad_to_multiple == 4

@@ -269,3 +269,69 @@ def test_iter_tsv_rows_handles_csv_quoting(tmp_path):
     rows2 = list(iter_tsv_rows(str(tsv2)))
     assert [r[0] for r in rows2] == [0, 1]
     assert rows2[0][1][0] == "7"
+
+
+def test_tune_spar_weights_multiset(tmp_path):
+    """Multiset grid search (reference grid_search_weights_multiset,
+    spar_weight_tuning.py:200-224): shared ctx embeddings, per-dataset
+    query embeddings + regex flags, per-dataset best weights."""
+    import pickle
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    D, N = 8, 12
+    # passages: answer word "gold" appears only in passage 3; passage 7
+    # matches the regex dataset's pattern
+    with open(tmp_path / "psgs.tsv", "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for i in range(N):
+            text = "gold answer here" if i == 3 else (
+                "code ab12 token" if i == 7 else f"plain text {i}")
+            f.write(f"{i}\t{text}\tt{i}\n")
+
+    p1 = rng.normal(size=(N, D)).astype(np.float32)
+    p2 = rng.normal(size=(N, D)).astype(np.float32)
+    for d, p in (("m1", p1), ("m2", p2)):
+        os.makedirs(tmp_path / d, exist_ok=True)
+        with open(tmp_path / d / "reps_0000.pkl", "wb") as f:
+            pickle.dump(p, f, protocol=4)
+
+    # dataset A: model-2 signal points at passage 3 (needs high weight)
+    qa1 = rng.normal(size=(2, D)).astype(np.float32) * 0.01
+    qa2 = np.tile(p2[3], (2, 1)).astype(np.float32)
+    # dataset B (regex): model-1 already points at passage 7
+    qb1 = np.tile(p1[7], (2, 1)).astype(np.float32)
+    qb2 = rng.normal(size=(2, D)).astype(np.float32) * 0.01
+    for name, (e1, e2) in {"qa.pkl": (qa1, qa2), "qb.pkl": (qb1, qb2)}.items():
+        with open(tmp_path / "m1" / name, "wb") as f:
+            pickle.dump(e1, f, protocol=4)
+        with open(tmp_path / "m2" / name, "wb") as f:
+            pickle.dump(e2, f, protocol=4)
+
+    with open(tmp_path / "a.csv", "w") as f:
+        f.write("who has gold\t['gold']\nwhere is gold\t['gold']\n")
+    with open(tmp_path / "b.csv", "w") as f:
+        f.write("code query\t['ab\\\\d+']\ncode again\t['ab\\\\d+']\n")
+
+    out_json = tmp_path / "out.json"
+    stdout = run_tool(
+        "tune_spar_weights.py",
+        "--queries", str(tmp_path / "a.csv"), str(tmp_path / "b.csv"),
+        "--query_emb_names", "qa.pkl", "qb.pkl",
+        "--use_regex", "0", "1",
+        "--tsv_passages_path", str(tmp_path / "psgs.tsv"),
+        "--ctx_embeddings_dir_1", str(tmp_path / "m1"),
+        "--ctx_embeddings_dir_2", str(tmp_path / "m2"),
+        "--weights", "0.0", "1.0", "5.0",
+        "--topk", "5", "--eval_on_ks", "1", "5", "--valid_on_k", "1",
+        "--output_json", str(out_json),
+    )
+    assert "Best weights per dataset" in stdout
+    result = json.load(open(out_json))
+    # dataset A only hits with a positive weight on model 2
+    assert result["a.csv"]["best_weight"] > 0.0
+    assert result["a.csv"]["recalls"]["5.0"]["1"] == 1.0
+    assert result["a.csv"]["recalls"]["0.0"]["1"] == 0.0
+    # dataset B: regex matching finds ab12; weight 0 already perfect
+    assert result["b.csv"]["recalls"]["0.0"]["1"] == 1.0
