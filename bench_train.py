@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--qlen", type=int, default=32)
     parser.add_argument("--clen", type=int, default=128)
     parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--remat", action="store_true", help="per-layer jax.checkpoint")
+    parser.add_argument("--dropout", type=float, default=None, help="override both dropout rates")
     args = parser.parse_args()
 
     try:
@@ -38,7 +40,17 @@ def main():
     from dpr_scale_tpu.train import DenseRetrieverTask
     from dpr_scale_tpu.train.schedule import linear_warmup_decay
 
+    import dataclasses
+
     cfg = ARCH_PRESETS[args.arch]()
+    over = {}
+    if args.remat:
+        over["remat"] = True
+    if args.dropout is not None:
+        over["hidden_dropout"] = args.dropout
+        over["attention_dropout"] = args.dropout
+    if over:
+        cfg = dataclasses.replace(cfg, **over)
     task = DenseRetrieverTask(
         cfg=cfg,
         optimizer=make_optimizer(
@@ -69,13 +81,21 @@ def main():
         state, m = step(state, sb)
     float(m["train_loss"])
     dt = time.perf_counter() - t0
+    # matmul-flops model: fwd ~2*P_block*tokens (+attention), train ~3x fwd
+    h, L, ffn = cfg.hidden_size, cfg.num_layers, cfg.intermediate_size
+    per_tok = L * (4 * h * h + 2 * h * ffn) * 2
+    tokens = B * args.qlen + B * C * args.clen
+    attn = L * 2 * 2 * h * (B * args.qlen**2 + B * C * args.clen**2)
+    step_tflop = 3 * (per_tok * tokens + attn) / 1e12
     print(
         json.dumps(
             {
-                "metric": f"train_qps_{args.arch}_b{B}_c{C}_q{args.qlen}_c{args.clen}",
+                "metric": f"train_qps_{args.arch}_b{B}_c{C}_q{args.qlen}_c{args.clen}"
+                + ("_remat" if args.remat else ""),
                 "value": round(args.steps * B / dt, 1),
                 "unit": "queries/s",
                 "steps_per_s": round(args.steps / dt, 2),
+                "model_tflops_per_s": round(step_tflop * args.steps / dt, 1),
                 "loss": round(float(m["train_loss"]), 4),
             }
         )

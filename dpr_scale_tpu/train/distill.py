@@ -31,6 +31,7 @@ class DPRDistillTask:
     optimizer: Optional[optax.GradientTransformation] = None
     mesh: Optional[Any] = None
     zero1: bool = False  # ZeRO-1 optimizer-state sharding
+    dropout_rng_impl: str = "rbg"  # TPU-native dropout bits (see task.py)
 
     def __post_init__(self):
         self.model = DenseEncoder(self.cfg, projection_dim=self.projection_dim)
@@ -63,6 +64,13 @@ class DPRDistillTask:
     def shard(self, batch):
         return shard_batch(batch, self.mesh)
 
+    def _step_dropout_rng(self, state):
+        step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+        if self.dropout_rng_impl == "rbg":
+            data = jax.random.key_data(step_rng)
+            step_rng = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
+        return step_rng
+
     def make_train_step(self) -> Callable:
         if self._train_step is not None:
             return self._train_step
@@ -79,7 +87,7 @@ class DPRDistillTask:
 
         def train_step(state: TrainState, batch, epoch=0):
             del epoch
-            rng = jax.random.fold_in(state.dropout_rng, state.step)
+            rng = self._step_dropout_rng(state)
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
             updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
             if self._opt_shardings is not None:  # keep moments ZeRO-sharded

@@ -228,6 +228,7 @@ class MultiVecRetrieverTask:
     optimizer: Optional[optax.GradientTransformation] = None
     mesh: Optional[Any] = None
     zero1: bool = False  # ZeRO-1 optimizer-state sharding
+    dropout_rng_impl: str = "rbg"  # TPU-native dropout bits (see task.py)
 
     def __post_init__(self):
         self.model = MultiVecEncoder(
@@ -382,6 +383,13 @@ class MultiVecRetrieverTask:
     def shard(self, batch):
         return shard_batch(batch, self.mesh)
 
+    def _step_dropout_rng(self, state):
+        step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+        if self.dropout_rng_impl == "rbg":
+            data = jax.random.key_data(step_rng)
+            step_rng = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
+        return step_rng
+
     def make_train_step(self) -> Callable:
         if self._train_step is not None:
             return self._train_step
@@ -398,7 +406,7 @@ class MultiVecRetrieverTask:
             )
 
         def train_step(state: TrainState, batch, epoch=0):
-            step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+            step_rng = self._step_dropout_rng(state)
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch, step_rng, epoch
             )
