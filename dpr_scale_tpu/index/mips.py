@@ -54,6 +54,9 @@ RESCUE_GROUPS = 6  # most-discrepant corpus groups rescued whole per query —
 # the whole-shard approx pass misses ~1.3 single elements per failing query
 # (measured ~1.8 discrepant groups per failing query on random 2.1M x 768);
 # queries with more discrepant groups fall back to the host exact path
+RESCUE_PAIRS = 1024  # gathered (query, group) pairs per batch after
+# compaction (~655 positive pairs measured at B=512; overflow queries
+# fall back exactly)
 
 
 def merge_topk_batched(
@@ -447,23 +450,53 @@ class MipsIndex:
         sel_g = jnp.stack(sel_g, axis=1)  # (B, P) distinct groups
         sel_v = jnp.stack(sel_v, axis=1)
 
-        # exactness: all discrepant groups of the query were selected
-        covered_q = jnp.sum(jnp.maximum(sel_v, 0), axis=1)
-        not_exact = jnp.sum(diff, axis=1) > covered_q
+        # compact to the pairs that actually need rescuing: most queries
+        # are clean, so gathering all B*P groups would move ~4x more HBM
+        # than needed (measured ~1.3 discrepant groups per batch row)
+        R = min(RESCUE_PAIRS, B * P_sel)
+        flat_v = sel_v.reshape(-1)
+        (pos_idx,) = jnp.nonzero(flat_v > 0, size=R, fill_value=0)
+        n_pos = jnp.sum(flat_v > 0)
+        pair_valid = jnp.arange(R) < jnp.minimum(n_pos, R)
+        pair_q = pos_idx // P_sel
+        pair_p = pos_idx % P_sel
+        pair_g = sel_g.reshape(-1)[pos_idx]
 
         emb_g = emb.reshape(ngroups, group, D)
-        tiles = emb_g[sel_g]  # (B, P, group, D) gather
-        rs = jnp.einsum(
-            "bd,bpgd->bpg", qd, tiles, preferred_element_type=jnp.float32
+        tiles = emb_g[jnp.where(pair_valid, pair_g, 0)]  # (R, group, D)
+        qr = jnp.take(qd, pair_q, axis=0)  # (R, D)
+        rs_pairs = jnp.einsum(
+            "rd,rgd->rg", qr, tiles, preferred_element_type=jnp.float32
+        )
+        pair_rows = pair_g[:, None] * group + jnp.arange(group)[None, :]
+        rs_pairs = jnp.where(
+            pair_valid[:, None] & (pair_rows < n_valid), rs_pairs, NEG_INF
+        )
+        # scatter back into each query's (P, group) slot; invalid/fill
+        # pairs carry -inf, and .max keeps a real pair that shares the
+        # fill slot (0, 0) intact
+        rs = (
+            jnp.full((B, P_sel, group), NEG_INF, jnp.float32)
+            .at[pair_q, pair_p]
+            .max(rs_pairs)
         )
         row_global = (
             sel_g[:, :, None] * group + jnp.arange(group)[None, None, :]
         )
-        rs = jnp.where(row_global < n_valid, rs, NEG_INF)  # mask pad rows
 
-        # drop candidates living in selected groups (now represented
-        # exactly by the rescue), preventing duplicates without matching
-        in_sel = jnp.any(gid[:, :, None] == sel_g[:, None, :], axis=2)
+        # exactness: every discrepant group selected AND rescued
+        covered_q = (
+            jnp.zeros((B,), jnp.int32)
+            .at[pair_q]
+            .add(jnp.where(pair_valid, flat_v[pos_idx], 0))
+        )
+        not_exact = jnp.sum(diff, axis=1) > covered_q
+
+        # drop candidates living in rescued groups (now represented
+        # exactly by the rescue), preventing duplicates without matching;
+        # compare only against groups that were actually rescued
+        sel_rescued = jnp.where(sel_v > 0, sel_g, -1)
+        in_sel = jnp.any(gid[:, :, None] == sel_rescued[:, None, :], axis=2)
         cand_s = jnp.where(in_sel, NEG_INF, cand_s)
 
         all_s = jnp.concatenate([cand_s, rs.reshape(B, P_sel * group)], axis=1)
