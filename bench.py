@@ -64,7 +64,10 @@ def main():
     jax.block_until_ready(corpus_dev)
     note("corpus synthesized on device")
 
-    index = MipsIndex(mesh, dtype=jnp.bfloat16, method="fused")
+    import os
+
+    method = os.environ.get("BENCH_MIPS_METHOD", "fused")
+    index = MipsIndex(mesh, dtype=jnp.bfloat16, method=method)
     index.add_device(corpus_dev)
     note("index built")
 

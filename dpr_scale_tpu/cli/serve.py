@@ -45,7 +45,13 @@ def main(argv=None):
         host_resident=cfg.task.get("host_resident_index", False),
     )
     method = s.get("method", "approx")  # serving default: low latency
-    assert method in ("auto", "approx", "exact_sort"), f"unknown serve.method {method!r}"
+    assert method in (
+        "groupmax",
+        "fused",
+        "auto",
+        "approx",
+        "exact_sort",
+    ), f"unknown serve.method {method!r}"
     index.method = method
     passages = CSVDataset(cfg.datamodule["passages_path"])
 

@@ -13,9 +13,21 @@ design:
     (2) one Pallas matmul+count kernel producing exact per-256-row-group
     counts of scores above the found k-th value, then an on-device rescue
     that gathers the few discrepant groups whole and re-merges them
-    exactly. Measured 14.0k QPS exact top-100 over 2.1M x 768 bf16 on one
+    exactly. Measured 20.2k QPS exact top-100 over 2.1M x 768 bf16 on one
     v5e chip (vs 6.8k for the older two-pass "auto" and ~26k for the
     unverified "approx" pass);
+  * ``method="groupmax"`` is verified-exact in ONE matmul-bound pass: a
+    Pallas sweep reduces scores to hierarchical per-group maxima, and
+    since each group max IS some element's score the true top-k provably
+    lives in the top-k groups ordered by max — those groups are gathered
+    whole, rescored exactly, and re-top-k'd, with a soundness check
+    flagging any conceivable selection miss to the host exact fallback.
+    Measured 12.2k QPS on the same bench: the single sweep wins a pass
+    but TPU batched gathers (both XLA's and a hand-rolled scalar-prefetch
+    DMA kernel: ~200ns/descriptor) cap the candidate-group fetch at
+    ~60-200GB/s, which costs more than the fused method's second
+    matmul-bound sweep. Kept as the better mode for gather-friendly
+    hardware and as the one-pass building block;
   * ``method="auto"`` is the legacy two-pass pipeline: chunked approx scan
     + whole-corpus count verification + rare exact fallback;
   * cross-device traffic is only ``B x devices x k`` entries; corpora
@@ -48,15 +60,20 @@ OVERSAMPLE = 3  # approx pass gathers OVERSAMPLE*k candidates per chunk so
 # the exactness verification almost always passes on the first try
 MERGE_EVERY = 4  # chunks whose winners accumulate before one carry re-top-k
 
+# groupmax-pipeline tuning (method="groupmax")
+GMAX_T1_SLACK = 28  # extra tier-1 groups selected beyond k (tie headroom)
+GMAX_T2_SLACK = 16  # extra tier-2 groups beyond the tier-1 selection size
+
 # fused-pipeline tuning (method="fused")
 FUSED_KC = 128  # per-device approx candidates
 RESCUE_GROUPS = 6  # most-discrepant corpus groups rescued whole per query —
 # the whole-shard approx pass misses ~1.3 single elements per failing query
 # (measured ~1.8 discrepant groups per failing query on random 2.1M x 768);
 # queries with more discrepant groups fall back to the host exact path
-RESCUE_PAIRS = 1024  # gathered (query, group) pairs per batch after
-# compaction (~655 positive pairs measured at B=512; overflow queries
-# fall back exactly)
+RESCUE_PAIRS_PER_QUERY = 2  # gathered (query, group) pairs per batch after
+# compaction, scaled with batch size (~1.3 positive pairs per query
+# measured at B=512 on random 2.1M x 768; overflow queries fall back
+# exactly). The budget is per batch: clean queries donate their slack.
 
 
 def merge_topk_batched(
@@ -87,7 +104,11 @@ class MipsIndex:
     method:
       * ``"fused"`` — (default) whole-shard approx pass + Pallas
         group-count verification + on-device whole-group rescue.
-        Returned top-k is exact; fastest exact mode.
+        Returned top-k is exact; fastest exact mode on TPU.
+      * ``"groupmax"`` — ONE Pallas matmul+group-max sweep, then exact
+        selection/rescore of the top groups (the true top-k elements
+        provably live in the top-k groups ordered by max). Exact;
+        gather-bound on TPU (see module docstring).
       * ``"auto"``  — legacy two-pass: chunked approx + count verification
         (+ rare exact fallback). Returned top-k is exact.
       * ``"approx"``— single approx pass (recall ~0.999 for k=100 over
@@ -109,7 +130,7 @@ class MipsIndex:
         search time — for corpora larger than total HBM (e.g. 21M x 768
         bf16 = 32GB on chips with 16GB each). Per-block state (one upload
         per block per search call) trades bandwidth for capacity."""
-        assert method in ("fused", "auto", "approx", "exact_sort")
+        assert method in ("groupmax", "fused", "auto", "approx", "exact_sort")
         self.mesh = mesh
         self.dtype = dtype
         self.method = method
@@ -453,7 +474,7 @@ class MipsIndex:
         # compact to the pairs that actually need rescuing: most queries
         # are clean, so gathering all B*P groups would move ~4x more HBM
         # than needed (measured ~1.3 discrepant groups per batch row)
-        R = min(RESCUE_PAIRS, B * P_sel)
+        R = min(max(1024, RESCUE_PAIRS_PER_QUERY * B), B * P_sel)
         flat_v = sel_v.reshape(-1)
         (pos_idx,) = jnp.nonzero(flat_v > 0, size=R, fill_value=0)
         n_pos = jnp.sum(flat_v > 0)
@@ -511,6 +532,126 @@ class MipsIndex:
     def _fused_search(self, emb, q, k, n_valid):
         return self._fused_search_impl(emb, q, k, n_valid)
 
+    # ------------------------------------------------------------------ #
+    # groupmax pipeline (method="groupmax"): ONE matmul-bound sweep that
+    # reduces scores to hierarchical per-group maxima (Pallas, nothing
+    # bigger than (B, N/8) leaves the kernel), then an exact selection:
+    # each group max IS some element's score, so the true top-k elements
+    # live inside the top-k groups ordered by max — gather those few
+    # groups whole, rescore them exactly, and re-top-k. A full-matrix
+    # soundness check flags any query whose selection could have missed a
+    # group (deep max ties, negative-score regimes where zero pad rows
+    # pollute maxima) to the host exact fallback. Exact FAISS IndexFlatIP
+    # semantics (reference run_retrieval.py:48-57,97) in ~1 corpus pass.
+
+    def _groupmax_search_impl(self, emb, q, k, n_valid):
+        """Traceable verified-exact search; same contract as
+        :meth:`_fused_search_impl` (scores, global indices, not_exact)."""
+        from jax import shard_map
+
+        from dpr_scale_tpu.ops.mips_kernels import (
+            GMAX_ROWS,
+            GMAX_TIER2,
+            GMAX_TILE_ROWS,
+            TILE_B,
+            groupmax_kernel,
+        )
+
+        n_pad, D = emb.shape
+        B = q.shape[0]
+        rows_local = n_pad // self.ndev
+        qd = q.astype(self.dtype)
+        g12 = GMAX_ROWS * GMAX_TIER2
+        aligned = rows_local % g12 == 0
+        group = GMAX_ROWS if aligned else 1
+        tier2 = GMAX_TIER2 if aligned else 1
+        ng_local = rows_local // group
+        n2_local = ng_local // tier2
+        T1 = min(k + GMAX_T1_SLACK, ng_local)
+        T2 = min(T1 + GMAX_T2_SLACK, n2_local)
+        use_pallas = (
+            aligned
+            and rows_local % GMAX_TILE_ROWS == 0
+            and B % min(TILE_B, B) == 0
+        )
+
+        def local_search(emb_l, qd):
+            shard = jax.lax.axis_index("data")
+            if use_pallas:
+                t1, t2 = groupmax_kernel(
+                    qd, emb_l, interpret=jax.default_backend() == "cpu"
+                )
+            else:  # small/unaligned blocks (tests): scores materialize
+                s = jnp.dot(qd, emb_l.T, preferred_element_type=jnp.float32)
+                t1 = s.reshape(B, ng_local, group).max(axis=2).T
+                t2 = t1.reshape(n2_local, tier2, B).max(axis=1)
+            # pad rows score exactly 0 and would outrank real negatives:
+            # mask groups past the local valid span (the sole partially
+            # valid group keeps its 0-inflated max — the check absorbs it)
+            local_valid = jnp.clip(n_valid - shard * rows_local, 0, rows_local)
+            full1 = (local_valid + group - 1) // group
+            gids_col = jnp.arange(ng_local, dtype=jnp.int32)[:, None]
+            t1 = jnp.where(gids_col < full1, t1, NEG_INF)
+            full2 = (local_valid + group * tier2 - 1) // (group * tier2)
+            t2 = jnp.where(
+                jnp.arange(n2_local, dtype=jnp.int32)[:, None] < full2, t2, NEG_INF
+            )
+
+            # selection: exact top-T2 tier-2 groups, then exact top-T1
+            # tier-1 groups among their children (the top-T1 tier-1 groups
+            # are guaranteed inside the top-T1(+slack) tier-2 groups)
+            _, sel2 = jax.lax.top_k(t2.T, T2)  # (B, T2)
+            cand1 = (
+                sel2[:, :, None] * tier2 + jnp.arange(tier2)[None, None, :]
+            ).reshape(B, T2 * tier2)
+            cand1_v = jax.vmap(lambda col, ix: col[ix], in_axes=(1, 0))(t1, cand1)
+            v1, pos1 = jax.lax.top_k(cand1_v, T1)  # (B, T1)
+            sel1 = jnp.take_along_axis(cand1, pos1, axis=1)
+
+            # gather the selected groups whole and rescore exactly
+            emb_g = emb_l.reshape(ng_local, group, D)
+            tiles = jnp.take(emb_g, sel1.reshape(-1), axis=0).reshape(
+                B, T1, group, D
+            )
+            rs = jnp.einsum(
+                "bd,btgd->btg", qd, tiles, preferred_element_type=jnp.float32
+            )
+            row_global = (
+                shard * rows_local
+                + sel1[:, :, None] * group
+                + jnp.arange(group)[None, None, :]
+            )
+            rs = jnp.where(row_global < n_valid, rs, NEG_INF)
+            ls, lpos = jax.lax.top_k(rs.reshape(B, T1 * group), min(k, T1 * group))
+            li = jnp.take_along_axis(
+                row_global.reshape(B, T1 * group), lpos, axis=1
+            )
+
+            # soundness: every group whose sweep max strictly beats the
+            # k-th rescored score must be among the selected (ties at tau
+            # are FAISS-arbitrary). cnt uses sweep maxima on both sides so
+            # the comparison is self-consistent.
+            tau = ls[:, -1]
+            cnt_all = jnp.sum((t1 > tau[None, :]).astype(jnp.int32), axis=0)
+            cnt_sel = jnp.sum((v1 > tau[:, None]).astype(jnp.int32), axis=1)
+            fail = cnt_all > cnt_sel
+            return ls, li, fail[:, None]
+
+        s, i, fail = shard_map(
+            local_search,
+            mesh=self.mesh,
+            in_specs=(P("data", None), P(None, None)),
+            out_specs=(P(None, "data"), P(None, "data"), P(None, "data")),
+            check_vma=not use_pallas,
+        )(emb, qd)  # s/i (B, ndev*k), fail (B, ndev)
+        fs, fpos = jax.lax.top_k(s, k)
+        fi = jnp.take_along_axis(i, fpos, axis=1)
+        return fs, fi, jnp.any(fail, axis=1)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _groupmax_search(self, emb, q, k, n_valid):
+        return self._groupmax_search_impl(emb, q, k, n_valid)
+
     def benchmark(self, queries_batches: np.ndarray, k: int = 100) -> dict:
         """On-device throughput of the verified-exact search pipeline.
 
@@ -528,7 +669,9 @@ class MipsIndex:
         @functools.partial(jax.jit, static_argnums=(3,))
         def run(qs, emb, valid, k):
             def body(_, q):
-                if self.method == "fused":
+                if self.method == "groupmax":
+                    s, i, fail = self._groupmax_search_impl(emb, q, k, _n)
+                elif self.method == "fused":
                     s, i, fail = self._fused_search_impl(emb, q, k, _n)
                 else:
                     s, i, fail = self._verified_search_device(emb, valid, q, k)
@@ -624,9 +767,14 @@ class MipsIndex:
     def _search_block(
         self, emb, valid, queries, k, n_valid=None
     ) -> Tuple[np.ndarray, np.ndarray]:
-        if self.method == "fused":
+        if self.method in ("groupmax", "fused"):
             n = int(n_valid) if n_valid is not None else emb.shape[0]
-            s, i, not_exact = self._fused_search(emb, queries, k, n)
+            fn = (
+                self._groupmax_search
+                if self.method == "groupmax"
+                else self._fused_search
+            )
+            s, i, not_exact = fn(emb, queries, k, n)
             s, i = np.array(s), np.array(i)
             fail_idx = np.nonzero(np.asarray(not_exact))[0]
             if len(fail_idx):  # rescue budget overflow: host exact fallback

@@ -154,6 +154,76 @@ def count_above_groups_kernel(
     return out.T
 
 
+GMAX_ROWS = 8  # corpus rows per tier-1 max group (selection granularity)
+GMAX_TIER2 = 16  # tier-1 groups per tier-2 group (128 rows)
+GMAX_TILE_ROWS = 2048  # corpus rows per grid step
+
+
+def _groupmax_kernel(qt_ref, c_ref, t1_ref, t2_ref):
+    # transposed scores (TILE_ROWS, tile_b) fp32 on the MXU; the row-major
+    # leading-dim reshape makes the per-8-row group max a cheap sublane
+    # reduction and keeps both outputs lane-aligned (groups, tile_b)
+    scores = jnp.dot(c_ref[:], qt_ref[:], preferred_element_type=jnp.float32)
+    g1 = GMAX_TILE_ROWS // GMAX_ROWS
+    t1 = jnp.max(scores.reshape(g1, GMAX_ROWS, scores.shape[1]), axis=1)
+    t1_ref[:] = t1
+    g2 = g1 // GMAX_TIER2
+    t2_ref[:] = jnp.max(t1.reshape(g2, GMAX_TIER2, t1.shape[1]), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "vma"))
+def groupmax_kernel(
+    queries: jax.Array,  # (B, D), B % TILE_B == 0 or B < TILE_B
+    corpus: jax.Array,  # (N, D) bf16/fp32, N % GMAX_TILE_ROWS == 0
+    interpret: bool = False,
+    vma=None,  # mesh axes the outputs vary over when called inside shard_map
+):
+    """One matmul-bound sweep -> hierarchical per-group max scores.
+
+    Returns ``(t1, t2)`` where ``t1`` is (N // 8, B) fp32 per-8-row-group
+    maxima and ``t2`` is (N // 128, B) maxima over 16 consecutive tier-1
+    groups. This is the single-pass half of the ``method="groupmax"``
+    exact-MIPS pipeline (:class:`dpr_scale_tpu.index.mips.MipsIndex`):
+    because each group max IS some element's score, the true top-k
+    elements live inside the top-k groups ordered by max — so exact
+    FAISS-IndexFlatIP top-k (reference run_retrieval.py:48-57,97) follows
+    from one sweep plus a tiny gather+rescore of the selected groups,
+    with no second corpus pass and no score materialization.
+    """
+    B, D = queries.shape
+    N = corpus.shape[0]
+    assert N % GMAX_TILE_ROWS == 0, (
+        f"corpus rows {N} must be a multiple of {GMAX_TILE_ROWS}"
+    )
+    tile_b = min(TILE_B, B)
+    assert B % tile_b == 0, f"batch {B} must be a multiple of {tile_b}"
+    g1 = GMAX_TILE_ROWS // GMAX_ROWS
+    g2 = g1 // GMAX_TIER2
+    n1, n2 = N // GMAX_ROWS, N // (GMAX_ROWS * GMAX_TIER2)
+    mk = lambda n: (
+        jax.ShapeDtypeStruct((n, B), jnp.float32, vma=frozenset(vma))
+        if vma
+        else jax.ShapeDtypeStruct((n, B), jnp.float32)
+    )
+    t1, t2 = pl.pallas_call(
+        _groupmax_kernel,
+        grid=(B // tile_b, N // GMAX_TILE_ROWS),
+        in_specs=[
+            pl.BlockSpec((D, tile_b), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (GMAX_TILE_ROWS, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((g1, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g2, tile_b), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(mk(n1), mk(n2)),
+        interpret=interpret,
+    )(queries.astype(corpus.dtype).T, corpus)
+    return t1, t2
+
+
 def _tile_max_kernel(q_ref, c_ref, out_ref):
     scores = jnp.dot(q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32)
     out_ref[:] = jnp.max(scores, axis=1, keepdims=True)

@@ -59,7 +59,7 @@ def test_mips_multi_block_global_indices():
     np.testing.assert_allclose(s, es, rtol=1e-5)
 
 
-@pytest.mark.parametrize("method", ["auto", "approx", "exact_sort"])
+@pytest.mark.parametrize("method", ["groupmax", "fused", "auto", "approx", "exact_sort"])
 def test_mips_methods_agree(method):
     rng = np.random.default_rng(3)
     corpus = rng.normal(size=(2000, 16)).astype(np.float32)
@@ -395,3 +395,70 @@ def test_fused_group_count_kernel_matches_numpy():
     scores = queries @ corpus.T
     true_cnt = (scores > tau[:, None]).reshape(8, -1, GROUP_ROWS).sum(2)
     np.testing.assert_array_equal(cnt, true_cnt)
+
+
+def test_groupmax_matches_numpy_and_blocks():
+    rng = np.random.default_rng(20)
+    blocks = [rng.normal(size=(n, 32)).astype(np.float32) for n in (5000, 700)]
+    corpus = np.concatenate(blocks, 0)
+    queries = rng.normal(size=(16, 32)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method="groupmax")
+    for b in blocks:
+        index.add(b)
+    s, i = index.search(queries, k=20)
+    es, ei = _np_topk(corpus, queries, 20)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=1e-5)
+
+
+def test_groupmax_negative_scores_exclude_pads():
+    """All-negative score regime: zero pad rows outrank every real score
+    in the sweep maxima; the tail-group mask plus the rescore's row-range
+    mask must keep them out of the results."""
+    rng = np.random.default_rng(21)
+    corpus = -np.abs(rng.normal(size=(1000, 16))).astype(np.float32)
+    queries = np.abs(rng.normal(size=(8, 16))).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method="groupmax")
+    index.add(corpus)
+    s, i = index.search(queries, k=15)
+    assert (s < 0).all() and (i < 1000).all()
+    es, ei = _np_topk(corpus, queries, 15)
+    np.testing.assert_allclose(s, es, rtol=1e-5)
+
+
+def test_groupmax_clustered_top_k_single_group():
+    """The whole true top-k inside ONE 8-row group (worst case for
+    max-based selection diversity): whole-group rescore recovers all."""
+    rng = np.random.default_rng(22)
+    corpus = rng.normal(size=(2048, 16)).astype(np.float32)
+    v = rng.normal(size=(16,)).astype(np.float32)
+    corpus[:8] = v[None, :] * np.linspace(20, 10, 8)[:, None]
+    queries = np.tile(v, (4, 1)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method="groupmax")
+    index.add(corpus)
+    s, i = index.search(queries, k=8)
+    es, ei = _np_topk(corpus, queries, 8)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=2e-5)
+
+
+def test_groupmax_selection_miss_falls_back(monkeypatch):
+    """An undersized selection (forced via a negative tier-1 slack) must
+    be caught by the full-matrix soundness check and repaired by the
+    host exact fallback inside search()."""
+    import dpr_scale_tpu.index.mips as mips_mod
+
+    rng = np.random.default_rng(23)
+    corpus = rng.normal(size=(2000, 16)).astype(np.float32)
+    queries = rng.normal(size=(8, 16)).astype(np.float32)
+    monkeypatch.setattr(mips_mod, "GMAX_T1_SLACK", -15)
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method="groupmax")
+    index.add(corpus)
+    _s, _i, not_exact = index._groupmax_search(
+        index._blocks[0][0], jnp.asarray(queries), 20, 2000
+    )
+    assert np.asarray(not_exact).any()  # the check fires...
+    s, i = index.search(queries, k=20)  # ...and search() repairs exactly
+    es, ei = _np_topk(corpus, queries, 20)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=1e-5)

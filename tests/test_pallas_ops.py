@@ -40,3 +40,23 @@ def test_count_kernel_rejects_ragged_corpus():
         count_above_kernel(
             jnp.zeros((4, 128)), jnp.zeros((100, 128)), jnp.zeros((4,)), interpret=True
         )
+
+
+def test_groupmax_kernel_matches_numpy():
+    from dpr_scale_tpu.ops.mips_kernels import (
+        GMAX_ROWS,
+        GMAX_TIER2,
+        GMAX_TILE_ROWS,
+        groupmax_kernel,
+    )
+
+    rng = np.random.default_rng(2)
+    B, D, N = 8, 128, 2 * GMAX_TILE_ROWS
+    q = rng.normal(size=(B, D)).astype(np.float32)
+    c = rng.normal(size=(N, D)).astype(np.float32)
+    t1, t2 = groupmax_kernel(jnp.asarray(q), jnp.asarray(c), interpret=True)
+    s = q @ c.T
+    e1 = s.reshape(B, N // GMAX_ROWS, GMAX_ROWS).max(2).T
+    e2 = e1.reshape(N // (GMAX_ROWS * GMAX_TIER2), GMAX_TIER2, B).max(1)
+    np.testing.assert_allclose(np.asarray(t1), e1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t2), e2, rtol=1e-4, atol=1e-5)
