@@ -25,12 +25,20 @@ def main():
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--seq", type=int, default=256)
     parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument(
+        "--fused-attention", action="store_true",
+        help="Pallas fused attention (softmax stays in VMEM)",
+    )
     args = parser.parse_args()
 
     from dpr_scale_tpu.cli.common import ARCH_PRESETS
     from dpr_scale_tpu.models import DenseEncoder
 
     cfg = ARCH_PRESETS[args.arch]()
+    if args.fused_attention:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_attention=True)
     model = DenseEncoder(cfg)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(
@@ -60,7 +68,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"encode_psgs_per_s_{args.arch}_L{args.seq}",
+                "metric": f"encode_psgs_per_s_{args.arch}_L{args.seq}"
+                + ("_fa" if args.fused_attention else ""),
                 "value": round(psgs_per_s, 1),
                 "unit": "passages/s",
                 "tflops": round(flops / 1e12, 1),

@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--remat", action="store_true", help="per-layer jax.checkpoint")
     parser.add_argument("--dropout", type=float, default=None, help="override both dropout rates")
+    parser.add_argument(
+        "--fused-attention", action="store_true",
+        help="Pallas fused attention with in-kernel dropout",
+    )
     args = parser.parse_args()
 
     try:
@@ -46,6 +50,8 @@ def main():
     over = {}
     if args.remat:
         over["remat"] = True
+    if args.fused_attention:
+        over["fused_attention"] = True
     if args.dropout is not None:
         over["hidden_dropout"] = args.dropout
         over["attention_dropout"] = args.dropout
@@ -91,7 +97,8 @@ def main():
         json.dumps(
             {
                 "metric": f"train_qps_{args.arch}_b{B}_c{C}_q{args.qlen}_c{args.clen}"
-                + ("_remat" if args.remat else ""),
+                + ("_remat" if args.remat else "")
+                + ("_fa" if args.fused_attention else ""),
                 "value": round(args.steps * B / dt, 1),
                 "unit": "queries/s",
                 "steps_per_s": round(args.steps / dt, 2),

@@ -54,6 +54,7 @@ def build_model_config(cfg: Config) -> TransformerConfig:
             "hidden_dropout",
             "attention_dropout",
             "remat",
+            "fused_attention",
         )
         if k in m
     }

@@ -39,6 +39,10 @@ class TransformerConfig:
     position_offset: int = 0  # RoBERTa uses 2 (positions start at pad+1)
     dtype: jnp.dtype = jnp.bfloat16  # activation dtype
     remat: bool = False
+    # fused Pallas attention (softmax + dropout in VMEM, dropout bits
+    # drawn in-kernel — see dpr_scale_tpu.ops.attention). On CPU the
+    # kernel runs interpreted, so dropout>0 there falls back to einsum.
+    fused_attention: bool = False
 
     @staticmethod
     def tiny(vocab_size: int = 32) -> "TransformerConfig":
@@ -93,13 +97,35 @@ class SelfAttention(nn.Module):
         q = dense("query")(x)
         k = dense("key")(x)
         v = dense("value")(x)
-        # (B, nh, L, L) logits in fp32 for stable softmax
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-        logits = logits / jnp.sqrt(hd).astype(jnp.float32)
-        logits = logits + attn_bias  # additive -inf mask, broadcast (B,1,1,L)
-        probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
-        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        rate = 0.0 if deterministic else cfg.attention_dropout
+        on_cpu = jax.default_backend() == "cpu"
+        if cfg.fused_attention and not (rate > 0.0 and on_cpu):
+            from dpr_scale_tpu.ops.attention import fused_attention
+
+            if rate > 0.0:
+                bits = jax.random.bits(self.make_rng("dropout"), (), "uint32")
+                seed = jax.lax.bitcast_convert_type(bits, jnp.int32)[None]
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            ctx = fused_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                attn_bias[:, 0],  # (B, 1, L) additive
+                seed,
+                rate,
+                on_cpu,  # interpret mode for simulated-mesh CPU tests
+            ).transpose(0, 2, 1, 3)
+        else:
+            # (B, nh, L, L) logits in fp32 for stable softmax
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+            logits = logits / jnp.sqrt(hd).astype(jnp.float32)
+            logits = logits + attn_bias  # additive -inf mask, (B,1,1,L)
+            probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+            probs = nn.Dropout(cfg.attention_dropout)(
+                probs, deterministic=deterministic
+            )
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = nn.DenseGeneral(
             h, axis=(-2, -1), dtype=cfg.dtype, name="output",
             kernel_init=nn.initializers.normal(0.02),

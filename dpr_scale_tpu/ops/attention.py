@@ -1,0 +1,205 @@
+"""Fused multi-head attention Pallas kernel with in-kernel dropout.
+
+TPU-first replacement for the einsum attention chain in
+:class:`dpr_scale_tpu.models.transformer.SelfAttention` (itself the
+re-expression of the reference's HF encoder attention,
+dpr_scale/models/hf_model.py:12-41). Motivation, measured on v5e
+(docs/STATUS.md): dropout dominated the train step — attention dropout
+alone was ~25% of step time because XLA materializes the fp32
+``(B, nh, L, L)`` logits, probs, AND a same-shaped dropout mask in HBM.
+This kernel keeps the whole per-sequence attention in VMEM:
+
+  * one grid step per (sequence, head-chunk); logits/softmax in fp32 on
+    MXU/VPU, nothing bigger than ``(L, hd)`` ever reaches HBM;
+  * dropout bits are drawn INSIDE the kernel with the TPU-native PRNG
+    (``pltpu.prng_random_bits``) — no mask tensor exists anywhere;
+  * the backward pass is a second Pallas kernel that regenerates the
+    same bits (same per-(sequence, chunk) seeding, same call order) and
+    recomputes softmax — rematerialization instead of residuals.
+
+Semantics match the reference path: fp32 softmax of ``q@k.T/sqrt(hd) +
+additive bias``, inverted-dropout scaling ``kept/(1-rate)``, bf16 probs
+for the value matmul. Dropout REALIZATIONS differ from ``nn.Dropout``
+(different generator), which is immaterial to training.
+
+Shapes: q, k, v are ``(B, nh, L, hd)``; bias is ``(B, 1, L)`` additive
+(0 keep / -1e9 drop); returns ``(B, nh, L, hd)`` in the input dtype.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for picking the per-grid-step head chunk (bytes)
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _head_chunk(nh: int, L: int, hd: int, itemsize: int) -> int:
+    """Largest divisor of nh whose working set fits the VMEM budget."""
+    fp32 = 4 * L * L * 4  # s/p/dp/ds live at once in the bwd kernel
+    per_head = L * hd * itemsize * 14  # 4 in + 3 out blocks, double-buffered
+    for hch in range(nh, 0, -1):
+        if nh % hch == 0 and fp32 + hch * per_head <= _VMEM_BUDGET:
+            return hch
+    return 1
+
+
+def _softmax_probs(q, k, bias, scale):
+    """(Lq, hd) x (Lk, hd) -> fp32 softmax probs (Lq, Lk)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias  # bias (1, Lk) broadcasts over query rows
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _keep_mask(shape, rate):
+    """Draw the per-entry keep mask from the in-kernel PRNG stream. Must
+    be called in the same order in fwd and bwd so the streams line up."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thr = jnp.uint32(min(int(round(rate * 2**32)), 2**32 - 1))
+    return bits >= thr
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate, scale, hch):
+    if rate > 0.0:
+        step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], step)
+    bias = bias_ref[0]  # (1, Lk) fp32
+    for h in range(hch):
+        p = _softmax_probs(q_ref[0, h], k_ref[0, h], bias, scale)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        o_ref[0, h] = jnp.dot(
+            p.astype(q_ref.dtype), v_ref[0, h], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, rate, scale, hch,
+):
+    if rate > 0.0:
+        step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], step)
+    bias = bias_ref[0]
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    for h in range(hch):  # same head order as fwd: PRNG streams line up
+        q, k, v, g = q_ref[0, h], k_ref[0, h], v_ref[0, h], g_ref[0, h]
+        p = _softmax_probs(q, k, bias, scale)
+        if rate > 0.0:
+            keep = _keep_mask(p.shape, rate)
+            pd = jnp.where(keep, p * inv_keep, 0.0)
+        else:
+            pd = p
+        # dV = pd.T @ g, contracted over query rows
+        dv_ref[0, h] = jax.lax.dot_general(
+            pd.astype(q_ref.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        # d(pd) = g @ v.T; chain through the dropout scaling, then the
+        # softmax vjp — with the FULL p (dropped entries still receive
+        # the -p_j * <dp, p> term)
+        dpd = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jnp.where(keep, dpd * inv_keep, 0.0) if rate > 0.0 else dpd
+        dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - dsum)
+        ds_lp = (ds * scale).astype(q_ref.dtype)
+        dq_ref[0, h] = jnp.dot(
+            ds_lp, k, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        dk_ref[0, h] = jax.lax.dot_general(
+            ds_lp, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+
+
+def _specs(B, nh, L, hd, hch):
+    blk = pl.BlockSpec(
+        (1, hch, L, hd), lambda b, c, seed: (b, c, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_blk = pl.BlockSpec(
+        (1, 1, L), lambda b, c, seed: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    return blk, bias_blk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(q, k, v, bias, seed, rate: float = 0.0, interpret: bool = False):
+    """Fused attention with in-kernel dropout; differentiable via a
+    rematerializing Pallas backward kernel.
+
+    q/k/v: (B, nh, L, hd); bias: (B, 1, L) additive fp32; seed: (1,) int32
+    (ignored when rate == 0). ``rate``/``interpret`` are static.
+    ``rate > 0`` requires a real TPU (the in-kernel PRNG has no
+    interpret-mode lowering).
+    """
+    return _fused_attention_fwd_impl(q, k, v, bias, seed, rate, interpret)
+
+
+def _fused_attention_fwd_impl(q, k, v, bias, seed, rate, interpret):
+    B, nh, L, hd = q.shape
+    hch = _head_chunk(nh, L, hd, q.dtype.itemsize)
+    blk, bias_blk = _specs(B, nh, L, hd, hch)
+    kern = functools.partial(
+        _fwd_kernel, rate=rate, scale=1.0 / math.sqrt(hd), hch=hch
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nh // hch),
+        in_specs=[blk, blk, blk, bias_blk],
+        out_specs=blk,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(seed, q, k, v, bias)
+
+
+def _fused_attention_fwd(q, k, v, bias, seed, rate, interpret):
+    out = _fused_attention_fwd_impl(q, k, v, bias, seed, rate, interpret)
+    return out, (q, k, v, bias, seed)
+
+
+def _fused_attention_bwd(rate, interpret, res, g):
+    q, k, v, bias, seed = res
+    B, nh, L, hd = q.shape
+    hch = _head_chunk(nh, L, hd, q.dtype.itemsize)
+    blk, bias_blk = _specs(B, nh, L, hd, hch)
+    kern = functools.partial(
+        _bwd_kernel, rate=rate, scale=1.0 / math.sqrt(hd), hch=hch
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nh // hch),
+        in_specs=[blk, blk, blk, bias_blk, blk],
+        out_specs=(blk, blk, blk),
+    )
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        interpret=interpret,
+    )(seed, q, k, v, bias, g.astype(q.dtype))
+    import numpy as np
+
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, jnp.zeros_like(bias), dseed
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)

@@ -20,6 +20,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# The suite has aborted with a bare "Fatal Python error" when ANOTHER
+# process used the TPU concurrently (axon plugin contention — the plugin
+# initializes in every python process via sitecustomize). Dump tracebacks
+# of all threads on such a crash so the dying test is identifiable.
+import faulthandler
+
+faulthandler.enable(all_threads=True)
+
 import json
 
 import numpy as np
