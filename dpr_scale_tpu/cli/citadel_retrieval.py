@@ -56,7 +56,6 @@ def main(argv=None):
         from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
 
         index = DeviceExpertIndex.from_host_index(index)
-        index.latency = {}
         print("Using device-resident expert index")
 
     dm = QueriesDataModule(

@@ -1,0 +1,127 @@
+"""Production-scale throughput of the device-resident CITADEL index.
+
+Synthesizes the post-build bucket layout of
+:class:`dpr_scale_tpu.index.inverted_device.DeviceExpertIndex` directly
+on device at MS MARCO-like scale (8.8M docs; a skewed expert->postings
+distribution over the length buckets; D=128 token vectors, bf16), then
+measures end-to-end `search()` latency/QPS including the host-side
+routing loop. The reference never shipped its GPU index (the module is
+missing on the main branch, citadel_retrieval_task.py:12), so these are
+new numbers, not parity numbers.
+
+Run: python tools/bench_citadel_device.py [--docs 8800000] [--batch 16]
+"""
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def synth_bucket(key, n_exp, bsize, D, num_docs, avg_fill=0.7):
+    """Random postings for n_exp experts of (padded) length bsize."""
+    kv, kd = jax.random.split(key)
+    vecs = jax.random.normal(kv, (n_exp, bsize, D), jnp.bfloat16) * 0.3
+    # doc runs: sorted random doc ids, ~1.3 postings per run
+    docs = np.sort(
+        np.random.default_rng(int(kd[0]) % 2**31).integers(
+            0, num_docs, size=(n_exp, bsize)
+        ),
+        axis=1,
+    ).astype(np.int32)
+    fill = int(bsize * avg_fill)
+    docs[:, fill:] = -1
+    starts = np.concatenate(
+        [np.ones((n_exp, 1), bool), docs[:, 1:fill] != docs[:, : fill - 1]], axis=1
+    )
+    run_id = np.zeros((n_exp, bsize), np.int32)
+    run_id[:, :fill] = np.cumsum(starts, axis=1) - 1
+    run_id[:, fill:] = run_id[:, fill - 1 : fill]
+    run_doc = np.full((n_exp, bsize), -1, np.int32)
+    rows = np.repeat(np.arange(n_exp), fill)
+    run_doc[rows, run_id[:, :fill].reshape(-1)] = docs[:, :fill].reshape(-1)
+    return {
+        "vecs": vecs,
+        "run_id": jax.device_put(jnp.asarray(run_id)),
+        "run_doc": jax.device_put(jnp.asarray(run_doc)),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--docs", type=int, default=8_800_000)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--qtokens", type=int, default=32)
+    parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--dim", type=int, default=128)
+    args = parser.parse_args()
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
+
+    D = args.dim
+    # skewed expert population (MS MARCO-like: most experts short, a few
+    # huge "stopword" experts) — ~30k experts, ~21M padded postings
+    plan = [(512, 8000), (2048, 3000), (8192, 800), (32768, 100), (131072, 8)]
+    idx = DeviceExpertIndex(args.docs, jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    expert_id = 0
+    total = 0
+    for bsize, n_exp in plan:
+        key, sub = jax.random.split(key)
+        b = synth_bucket(sub, n_exp, bsize, D, args.docs)
+        b["slot_of"] = {expert_id + i: i for i in range(n_exp)}
+        expert_id += n_exp
+        idx.buckets[bsize] = b
+        total += n_exp * bsize
+    jax.block_until_ready(idx.buckets[512]["vecs"])
+    gb = total * D * 2 / 1e9
+    print(f"index: {expert_id} experts, {total/1e6:.1f}M padded postings, {gb:.1f} GB bf16, {args.docs/1e6:.1f}M docs")
+
+    rng = np.random.default_rng(1)
+    B, T = args.batch, args.qtokens
+    query = {
+        # citadel routing: topk-1 expert per token, weights ~U(0,1)
+        "expert_ids": rng.integers(0, expert_id, size=(B, T, 1)).astype(np.int64),
+        "expert_weights": rng.random((B, T, 1)).astype(np.float32),
+        "expert_repr": rng.normal(size=(B, T, D)).astype(np.float32),
+        "attention_mask": np.ones((B, T), np.int64),
+    }
+
+    s, i = idx.search(query, topk=100)  # compile + warm
+    t0 = time.perf_counter()
+    for it in range(args.iters):
+        s, i = idx.search(query, topk=100)
+    dt = time.perf_counter() - t0
+    qps = args.iters * B / dt
+    # device-resident variant: skip the per-batch result download (the axon
+    # tunnel downloads at ~0.1 MB/s, which a production host would not pay)
+    t0 = time.perf_counter()
+    for it in range(args.iters):
+        s_d, i_d = idx.search(query, topk=100, as_numpy=False)
+    float(jnp.sum(s_d[:, 0]))  # one scalar sync
+    dt_d = time.perf_counter() - t0
+    qps_d = args.iters * B / dt_d
+    print(
+        {
+            "metric": f"citadel_device_qps_{args.docs//1_000_000}Mdocs_{total//1_000_000}Mpost",
+            "value": round(qps, 1),
+            "unit": "qps",
+            "ms_per_batch": round(dt / args.iters * 1e3, 1),
+            "device_resident_qps": round(qps_d, 1),
+            "device_ms_per_batch": round(dt_d / args.iters * 1e3, 1),
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()
