@@ -77,6 +77,7 @@ def main(argv=None):
         output_trec_path=cfg.task.get("output_trec_path"),
         ignore_identical_ids=cfg.task.get("ignore_identical_ids", False),
         host_resident=cfg.task.get("host_resident_index", False),
+        method=cfg.task.get("mips_method", "fused"),
     )
     print(f"Retrieved top-{cfg.task.get('topk', 100)} for {len(results)} questions")
     if cfg.task.get("output_path"):

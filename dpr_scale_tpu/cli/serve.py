@@ -5,7 +5,10 @@ Usage:
         task.checkpoint_path=/ckpt/params_best \
         task.ctx_embeddings_dir=/embs \
         datamodule.passages_path=psgs_w100.tsv \
-        serve.port=8080 [serve.method=approx] [serve.k=10]
+        serve.port=8080 [serve.method=approx|int8|fused|...] [serve.k=10]
+
+    serve.method=int8 stores the corpus per-row-quantized (half the HBM,
+    ~2x the MXU rate); serve.method=fused serves verified-exact results.
 
     curl -XPOST localhost:8080/search -d '{"questions": ["who wrote hamlet"], "k": 5}'
 """
@@ -39,11 +42,6 @@ def main(argv=None):
     params = _init_params(task, tokenizer, cfg.task.get("checkpoint_path"))
     encoder = CorpusEncoder(task.model, params, task.mesh, use_query_tower=True)
 
-    index = build_index(
-        cfg.task["ctx_embeddings_dir"],
-        task.mesh,
-        host_resident=cfg.task.get("host_resident_index", False),
-    )
     method = s.get("method", "approx")  # serving default: low latency
     assert method in (
         "groupmax",
@@ -51,8 +49,15 @@ def main(argv=None):
         "auto",
         "approx",
         "exact_sort",
+        "int8",
     ), f"unknown serve.method {method!r}"
-    index.method = method
+    # int8 quantizes at add() time, so the method must be set at build
+    index = build_index(
+        cfg.task["ctx_embeddings_dir"],
+        task.mesh,
+        host_resident=cfg.task.get("host_resident_index", False),
+        method=method,
+    )
     passages = CSVDataset(cfg.datamodule["passages_path"])
 
     retriever = Retriever(

@@ -46,14 +46,19 @@ def build_index(
     dtype=None,
     max_block_rows: int = 2_000_000,
     host_resident: bool = False,
+    method: str = "fused",
 ) -> MipsIndex:
     """Load every reps_* shard into one MipsIndex (global row order =
     shard order = corpus order, as the reference relies on,
     run_retrieval.py:48-57). ``host_resident`` streams blocks from host
-    RAM for corpora larger than total HBM."""
+    RAM for corpora larger than total HBM. ``method`` must be passed at
+    build time for ``"int8"`` (blocks quantize on add)."""
     import jax.numpy as jnp
 
-    index = MipsIndex(mesh, dtype=dtype or jnp.bfloat16, host_resident=host_resident)
+    index = MipsIndex(
+        mesh, dtype=dtype or jnp.bfloat16, host_resident=host_resident,
+        method=method,
+    )
     shards = load_embedding_shards(ctx_embeddings_dir)
     if not shards:
         raise FileNotFoundError(f"no reps_* shards in {ctx_embeddings_dir}")
@@ -77,10 +82,13 @@ def retrieve(
     ignore_identical_ids: bool = False,
     index: Optional[MipsIndex] = None,
     host_resident: bool = False,
+    method: str = "fused",
 ) -> List[List[Dict]]:
     """Returns per-question context lists; optionally writes output files."""
     if index is None:
-        index = build_index(ctx_embeddings_dir, mesh, host_resident=host_resident)
+        index = build_index(
+            ctx_embeddings_dir, mesh, host_resident=host_resident, method=method
+        )
     passages = CSVDataset(passages_path)
 
     all_scores, all_indices = [], []

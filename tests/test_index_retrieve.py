@@ -462,3 +462,84 @@ def test_groupmax_selection_miss_falls_back(monkeypatch):
     es, ei = _np_topk(corpus, queries, 20)
     np.testing.assert_array_equal(i, ei)
     np.testing.assert_allclose(s, es, rtol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+# int8 serving mode (method="int8")
+
+
+def _grid_embeddings(rng, n, d):
+    """Rows exactly representable under per-row symmetric int8: int8-grid
+    integers times a per-row scale, with one entry pinned to +127 so the
+    quantizer's scale = the generating scale and recovery is lossless."""
+    ints = rng.integers(-127, 128, size=(n, d)).astype(np.float32)
+    ints[np.arange(n), rng.integers(0, d, size=n)] = 127.0
+    scales = rng.uniform(0.005, 0.05, size=(n, 1)).astype(np.float32)
+    return ints * scales
+
+
+def _dense_rows(scores, idx, n):
+    out = np.zeros((scores.shape[0], n), np.float32)
+    np.put_along_axis(out, idx.astype(np.int64), scores, axis=1)
+    return out
+
+
+def test_int8_lossless_grid_matches_exact():
+    """On int8-grid data the quantization is lossless, so the serving mode
+    must reproduce exact search (dense compare — int ties are legal)."""
+    rng = np.random.default_rng(30)
+    corpus = _grid_embeddings(rng, 3000, 32)
+    queries = _grid_embeddings(rng, 9, 32)
+    index = MipsIndex(get_mesh(8), method="int8")
+    index.add(corpus)
+    s, i = index.search(queries, k=11)
+    es, ei = _np_topk(corpus, queries, 11)
+    np.testing.assert_allclose(
+        _dense_rows(s, i, 3000), _dense_rows(es, ei, 3000), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_int8_mesh_parity():
+    """mesh(8) and mesh(1) must agree with exact search on grid data
+    (SPMD convention: every sharded path is simulated-mesh tested)."""
+    rng = np.random.default_rng(31)
+    corpus = _grid_embeddings(rng, 2048, 16)
+    queries = _grid_embeddings(rng, 8, 16)
+    es, ei = _np_topk(corpus, queries, 10)
+    dense_e = _dense_rows(es, ei, 2048)
+    for ndev in (1, 8):
+        index = MipsIndex(get_mesh(ndev), method="int8")
+        index.add(corpus)
+        s, i = index.search(queries, k=10)
+        np.testing.assert_allclose(
+            _dense_rows(s, i, 2048), dense_e, rtol=1e-4, atol=1e-6
+        )
+
+
+def test_int8_multi_block_and_recall():
+    """Random (non-grid) data: quantization error is real, so assert high
+    top-k overlap with exact search and per-score error within the
+    per-row quantization bound, across multiple blocks."""
+    rng = np.random.default_rng(32)
+    blocks = [rng.normal(size=(n, 64)).astype(np.float32) for n in (3000, 1500)]
+    corpus = np.concatenate(blocks, 0)
+    queries = rng.normal(size=(16, 64)).astype(np.float32)
+    index = MipsIndex(get_mesh(8), method="int8")
+    for b in blocks:
+        index.add(b)
+    s, i = index.search(queries, k=10)
+    es, ei = _np_topk(corpus, queries, 10)
+    overlap = np.mean(
+        [len(set(i[b]) & set(ei[b])) / 10.0 for b in range(len(queries))]
+    )
+    assert overlap >= 0.9, overlap
+    # dequantized score error bound: 0.5*(|q| . sc_row) + 0.5*(|row| . qsc)
+    exact_at_i = np.take_along_axis(queries @ corpus.T, i.astype(np.int64), 1)
+    sc = np.abs(corpus).max(axis=1) / 127.0
+    qsc = np.abs(queries).max(axis=1) / 127.0
+    bound = (
+        0.5 * np.abs(queries).sum(1, keepdims=True) * sc[i]
+        + 0.5 * np.abs(corpus[i]).sum(-1) * qsc[:, None]
+        + 0.25 * corpus.shape[1] * sc[i] * qsc[:, None]
+    )
+    assert (np.abs(s - exact_at_i) <= bound + 1e-4).all()

@@ -132,6 +132,16 @@ def test_device_index_matches_host(variant, tmp_path):
         dense_d[dr[b]] = ds[b]
         np.testing.assert_allclose(dense_d, dense_h, rtol=1e-4, atol=1e-4)
 
+    # latency accounting mirrors the host index's dict
+    assert dev.latency["routing_time"] > 0
+    assert dev.latency["search_time"] > 0
+
+    # as_numpy=False keeps results device-resident but numerically equal
+    ds2, dr2 = dev.search(q_out, topk=8, as_numpy=False)
+    assert not isinstance(ds2, np.ndarray)
+    np.testing.assert_allclose(np.asarray(ds2), ds, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dr2), dr)
+
 
 def test_index_pruning_and_quantization():
     model, params, doc_out = _encode("citadel", 6, 10, seed=6, topk=2)
