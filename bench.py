@@ -18,10 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CORPUS_ROWS = 2_097_152
+import os as _os
+
+CORPUS_ROWS = int(_os.environ.get("BENCH_ROWS", 2_097_152))
 DIM = 768
 QUERY_BATCH = 512
-ITERS = 32  # enough batches to amortize the tunnel's fixed dispatch cost
+ITERS = int(_os.environ.get("BENCH_ITERS", 32))
 K = 100
 NORTH_STAR_ROWSCORES_PER_CHIP = 10_000 * 21_000_000 / 8
 
