@@ -120,3 +120,63 @@ def test_search_k_cap_and_bucketing(server_setup):
     assert len(body["results"][0]) == 3
     scores = [c["score"] for c in body["results"][0]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_search_roundtrip_int8(server_setup, tmp_path):
+    """The int8 serving index behind the same Retriever surface: a query
+    identical to a passage must still retrieve it first (quantization
+    preserves the self-similarity argmax on this separable corpus)."""
+    url, passages = server_setup
+    # build a second retriever on an int8 index over the same corpus
+    import dataclasses as _dc
+
+    d = tmp_path
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "passage", "text",
+             "title", "query"] + [str(i) for i in range(20)]
+    (d / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    from transformers import BertTokenizerFast
+
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    tok = HFTokenizer(str(d), max_seq_len=12)
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(vocab_size=len(vocab)), dtype=jnp.float32
+    )
+    model = BiEncoder(cfg, shared=True)
+    ids = jnp.ones((2, 12), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids, ids, ids)["params"]
+    mesh = get_mesh(8)
+    encoder = CorpusEncoder(model, params, mesh, use_query_tower=True)
+    ctx_encoder = CorpusEncoder(model, params, mesh)
+    texts = [passages[i]["text"] for i in range(20)]
+    cids, cmask = tok(texts)
+    emb = np.asarray(ctx_encoder._encode(params, cids, cmask), np.float32)
+    index = MipsIndex(mesh, method="int8")
+    index.add(emb)
+    retriever = Retriever(encoder, tok, index, passages, default_k=3)
+    results = retriever.search(["passage text 5"], k=3)
+    scores = [c["score"] for c in results[0]]
+    assert scores == sorted(scores, reverse=True)
+    # this tiny random model's score margins are smaller than the int8
+    # error bound, so ranks may legally reorder; the contract is
+    # near-optimality: every returned score is within the quantization
+    # bound of the exact score, and the returned top-1's exact score is
+    # within two bounds of the true maximum
+    qids, qmask = tok(["passage text 5"])
+    q = np.asarray(encoder._encode(params, qids, qmask), np.float32)[0]
+    exact = emb @ q
+    qsc = np.abs(q).max() / 127.0
+
+    def bound(row):
+        sc_r = np.abs(emb[row]).max() / 127.0
+        return (
+            0.5 * np.abs(q).sum() * sc_r
+            + 0.5 * np.abs(emb[row]).sum() * qsc
+            + 0.25 * emb.shape[1] * sc_r * qsc
+        )
+
+    for c in results[0]:
+        row = int(c["id"][1:])
+        assert abs(c["score"] - exact[row]) <= bound(row) + 1e-5
+    top1 = int(results[0][0]["id"][1:])
+    best = int(np.argmax(exact))
+    assert exact[top1] >= exact[best] - bound(top1) - bound(best) - 1e-5
