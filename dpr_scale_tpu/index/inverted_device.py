@@ -115,47 +115,38 @@ class DeviceExpertIndex:
 
     # ------------------------------------------------------------- #
 
-    def _bucket_score_fn(self, bsize: int, n_entries: int):
-        """Per-bucket scoring WITHOUT the accumulator scatter.
+    def _score_bucket(self, vecs, run_id, run_doc, slots, qvecs, qrows, bsize):
+        """Traceable per-bucket scoring WITHOUT the accumulator scatter.
 
         Returns flat (rows, docs, vals) update triples; the scatter happens
-        once for all buckets in :meth:`_combine_fn`. Measured on v5e: an XLA
-        scatter-add pays a whole-operand rewrite (~127 ms for a (64, 8.8M)
-        fp32 accumulator) regardless of update count, so one search must
-        contain exactly ONE scatter, not one per bucket.
+        once for all buckets. Measured on v5e: an XLA scatter-add pays a
+        whole-operand rewrite (~127 ms for a (64, 8.8M) fp32 accumulator)
+        regardless of update count, so one search must contain exactly ONE
+        scatter, not one per bucket.
         """
-        key = (bsize, n_entries)
-        if key in self._search_fns:
-            return self._search_fns[key]
+        # gather posting blocks for the touched experts
+        pv = vecs[slots]  # (E, L, D)
+        rid = run_id[slots]  # (E, L)
+        rdoc = run_doc[slots]  # (E, L)
+        scores = jnp.einsum(
+            "ed,eld->el", qvecs.astype(pv.dtype), pv,
+            preferred_element_type=jnp.float32,
+        )  # (E, L)
+        # MaxSim inner max per doc run; zero floor matches the training
+        # objective's gated-MaxSim (non-matching pairs contribute 0)
+        seg = jax.vmap(
+            lambda s, r: jax.ops.segment_max(
+                s, r, num_segments=bsize, indices_are_sorted=True
+            )
+        )(scores, rid)  # (E, L) run-indexed maxima
+        seg = jnp.maximum(seg, 0.0)
+        # -1 docs (pure-pad runs) route to the trash column num_docs
+        docs = jnp.where(rdoc >= 0, rdoc, self.num_docs)
+        rows = jnp.repeat(qrows, bsize)
+        return rows, docs.reshape(-1), seg.reshape(-1)
 
-        @jax.jit
-        def run(vecs, run_id, run_doc, slots, qvecs, qrows):
-            # gather posting blocks for the touched experts
-            pv = vecs[slots]  # (E, L, D)
-            rid = run_id[slots]  # (E, L)
-            rdoc = run_doc[slots]  # (E, L)
-            scores = jnp.einsum(
-                "ed,eld->el", qvecs.astype(pv.dtype), pv,
-                preferred_element_type=jnp.float32,
-            )  # (E, L)
-            # MaxSim inner max per doc run; zero floor matches the training
-            # objective's gated-MaxSim (non-matching pairs contribute 0)
-            seg = jax.vmap(
-                lambda s, r: jax.ops.segment_max(
-                    s, r, num_segments=bsize, indices_are_sorted=True
-                )
-            )(scores, rid)  # (E, L) run-indexed maxima
-            seg = jnp.maximum(seg, 0.0)
-            # -1 docs (pure-pad runs) route to the trash column num_docs
-            docs = jnp.where(rdoc >= 0, rdoc, self.num_docs)
-            rows = jnp.repeat(qrows, bsize)
-            return rows, docs.reshape(-1), seg.reshape(-1)
-
-        self._search_fns[key] = run
-        return run
-
-    def _combine_fn(self, batch: int, sizes: Tuple[int, ...], k: int, has_cls: bool):
-        """One scatter-add over all buckets' updates + tiled exact top-k.
+    def _combine_updates(self, rows, docs, vals, batch, k, has_cls, q_cls, cls_t):
+        """Traceable: one scatter-add over all updates + tiled exact top-k.
 
         The tiled top-k (per-2048-column tile maxima -> top-k tiles -> gather
         -> re-top-k) is exact by the group-max containment argument (any tile
@@ -164,44 +155,70 @@ class DeviceExpertIndex:
         (B, num_docs) accumulator, which reads at ~13 GB/s on v5e (~165 ms
         at B=64, 8.8M docs) versus ~bandwidth for the tile-max reduce.
         """
-        key = ("combine", batch, sizes, k, has_cls)
-        if key in self._search_fns:
-            return self._search_fns[key]
         tile = 2048
         nd = self.num_docs
         nt = max(1, -(-(nd + 1) // tile))
         kt = min(k, nt)
+        acc = jnp.zeros((batch, nt * tile), jnp.float32)
+        acc = acc.at[rows, docs].add(vals, mode="drop")
+        acc = acc.reshape(batch, nt, tile)
+        col = jnp.arange(nt * tile, dtype=jnp.int32).reshape(nt, tile)
+        valid = col < nd
+        if has_cls:
+            # dense CLS scores fold into the same tiled view; XLA fuses
+            # the add into the tile-max read
+            cls_scores = jnp.dot(
+                q_cls.astype(cls_t.dtype), cls_t,
+                preferred_element_type=jnp.float32,
+            )  # (B, nd)
+            cls_scores = jnp.pad(cls_scores, ((0, 0), (0, nt * tile - nd)))
+            acc = acc + cls_scores.reshape(batch, nt, tile)
+        # mask fuses into the reduce (one streaming read of acc)
+        tmax = jnp.where(valid[None], acc, -jnp.inf).max(axis=-1)  # (B, nt)
+        _, tidx = jax.lax.top_k(tmax, kt)  # (B, kt)
+        cand = jnp.take_along_axis(
+            acc, tidx[:, :, None], axis=1
+        )  # (B, kt, tile) — gather raw tiles, mask the small result
+        cand_col = tidx[:, :, None] * tile + jnp.arange(tile, dtype=jnp.int32)
+        cand = jnp.where(cand_col < nd, cand, -jnp.inf)
+        s, within = jax.lax.top_k(cand.reshape(batch, kt * tile), k)
+        doc = (
+            jnp.take_along_axis(tidx, within // tile, axis=1) * tile
+            + within % tile
+        )
+        return s, doc
+
+    def _search_program(self, batch: int, spec: Tuple[Tuple[int, int], ...],
+                        k: int, has_cls: bool):
+        """ONE jitted program for the whole search: every bucket's
+        gather-score-segmax, the single combined scatter, and the tiled
+        top-k. A single dispatch matters over tunneled deployments
+        (~16-32 ms per call) and lets XLA schedule bucket programs
+        back-to-back without host round-trips.
+
+        spec: tuple of (bucket_size, n_entries_padded) in call order.
+        """
+        key = ("program", batch, spec, k, has_cls)
+        if key in self._search_fns:
+            return self._search_fns[key]
 
         @jax.jit
-        def run(rows, docs, vals, q_cls=None, cls_t=None):
-            acc = jnp.zeros((batch, nt * tile), jnp.float32)
-            acc = acc.at[rows, docs].add(vals, mode="drop")
-            acc = acc.reshape(batch, nt, tile)
-            col = jnp.arange(nt * tile, dtype=jnp.int32).reshape(nt, tile)
-            valid = col < nd
-            if has_cls:
-                # dense CLS scores fold into the same tiled view; XLA fuses
-                # the add into the tile-max read
-                cls_scores = jnp.dot(
-                    q_cls.astype(cls_t.dtype), cls_t,
-                    preferred_element_type=jnp.float32,
-                )  # (B, nd)
-                cls_scores = jnp.pad(cls_scores, ((0, 0), (0, nt * tile - nd)))
-                acc = acc + cls_scores.reshape(batch, nt, tile)
-            # mask fuses into the reduce (one streaming read of acc)
-            tmax = jnp.where(valid[None], acc, -jnp.inf).max(axis=-1)  # (B, nt)
-            _, tidx = jax.lax.top_k(tmax, kt)  # (B, kt)
-            cand = jnp.take_along_axis(
-                acc, tidx[:, :, None], axis=1
-            )  # (B, kt, tile) — gather raw tiles, mask the small result
-            cand_col = tidx[:, :, None] * tile + jnp.arange(tile, dtype=jnp.int32)
-            cand = jnp.where(cand_col < nd, cand, -jnp.inf)
-            s, within = jax.lax.top_k(cand.reshape(batch, kt * tile), k)
-            doc = (
-                jnp.take_along_axis(tidx, within // tile, axis=1) * tile
-                + within % tile
+        def run(bucket_args, q_cls=None, cls_t=None):
+            parts = [
+                self._score_bucket(*args, bsize)
+                for (bsize, _n), args in zip(spec, bucket_args)
+            ]
+            if parts:
+                rows = jnp.concatenate([p[0] for p in parts])
+                docs = jnp.concatenate([p[1] for p in parts])
+                vals = jnp.concatenate([p[2] for p in parts])
+            else:
+                rows = jnp.zeros((8,), jnp.int32)
+                docs = jnp.full((8,), self.num_docs, jnp.int32)
+                vals = jnp.zeros((8,), jnp.float32)
+            return self._combine_updates(
+                rows, docs, vals, batch, k, has_cls, q_cls, cls_t
             )
-            return s, doc
 
         self._search_fns[key] = run
         return run
@@ -254,8 +271,8 @@ class DeviceExpertIndex:
 
         self.latency["routing_time"] += time.perf_counter() - tic
         tic = time.perf_counter()
-        updates = []  # per-bucket flat (rows, docs, vals) device triples
-        sizes = []
+        spec = []  # (bucket_size, padded entry count) per touched bucket
+        bucket_args = []
         for bsize, entries in sorted(per_bucket.items()):
             bucket = self.buckets[bsize]
             n = len(entries)
@@ -266,9 +283,9 @@ class DeviceExpertIndex:
             for j, (b, slot, vec) in enumerate(entries):
                 qrows[j], slots[j], qvecs[j] = b, slot, vec
             # pad entries: slot 0 with zero qvec -> scores 0 -> zero floor
-            run = self._bucket_score_fn(bsize, n_pad)
-            updates.append(
-                run(
+            spec.append((bsize, n_pad))
+            bucket_args.append(
+                (
                     bucket["vecs"],
                     bucket["run_id"],
                     bucket["run_doc"],
@@ -277,23 +294,14 @@ class DeviceExpertIndex:
                     jnp.asarray(qrows),
                 )
             )
-            sizes.append(n_pad * bsize)
         has_cls = self.cls is not None and "cls_repr" in query_out
         k = min(topk, self.num_docs)
-        combine = self._combine_fn(B, tuple(sizes), k, has_cls)
-        if updates:
-            rows = jnp.concatenate([u[0] for u in updates])
-            docs = jnp.concatenate([u[1] for u in updates])
-            vals = jnp.concatenate([u[2] for u in updates])
-        else:
-            rows = jnp.zeros((8,), jnp.int32)
-            docs = jnp.full((8,), self.num_docs, jnp.int32)
-            vals = jnp.zeros((8,), jnp.float32)
+        run = self._search_program(B, tuple(spec), k, has_cls)
         if has_cls:
             q_cls = jnp.asarray(np.asarray(query_out["cls_repr"], np.float32))
-            s, idx = combine(rows, docs, vals, q_cls, self.cls.T)
+            s, idx = run(tuple(bucket_args), q_cls, self.cls.T)
         else:
-            s, idx = combine(rows, docs, vals)
+            s, idx = run(tuple(bucket_args))
         if not as_numpy:
             self.latency["search_time"] += time.perf_counter() - tic
             return s, idx
