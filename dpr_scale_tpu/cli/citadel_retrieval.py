@@ -52,11 +52,21 @@ def main(argv=None):
     print(f"Loaded inverted index: {index.stats()}")
     if cfg.task.get("device_index", False):
         # TPU-native bucketed search (the reference's `cuda`/IVFGPUIndex
-        # switch, citadel_retrieval_task.py:56-60)
+        # switch, citadel_retrieval_task.py:56-60); task.expert_parallel
+        # shards the expert axis over the device mesh (the reference's
+        # expert_parallel flag, citadel_retrieval_task.py:29,44)
         from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
 
-        index = DeviceExpertIndex.from_host_index(index)
-        print("Using device-resident expert index")
+        mesh = None
+        if cfg.task.get("expert_parallel", False):
+            from dpr_scale_tpu.parallel import get_mesh
+
+            mesh = get_mesh()
+        index = DeviceExpertIndex.from_host_index(index, mesh=mesh)
+        print(
+            "Using device-resident expert index"
+            + (f" (expert-parallel over {mesh.devices.size} devices)" if mesh else "")
+        )
 
     dm = QueriesDataModule(
         tokenizer,

@@ -44,12 +44,31 @@ def _bucket_for(n: int) -> int:
     return BUCKET_SIZES[-1]
 
 
-class DeviceExpertIndex:
-    """Built via :meth:`from_host_index`; search via :meth:`search`."""
+TILE = 2048  # accumulator column tile for the tiled exact top-k
 
-    def __init__(self, num_docs: int, dtype=jnp.bfloat16):
+
+class DeviceExpertIndex:
+    """Built via :meth:`from_host_index`; search via :meth:`search`.
+
+    Pass ``mesh`` with >1 device for EXPERT-PARALLEL layout (the device
+    analog of the reference's ``expert_parallel`` index sharding,
+    citadel_retrieval_task.py:29,44, and of this repo's host-side
+    ``InvertedExpertIndex.load(expert_shards=...)``): each bucket's expert
+    axis is sharded over the mesh ``data`` axis, every device scores only
+    its local experts' postings, update triples are all-gathered (tiny vs
+    the posting tensors), each device scatter-adds into its column shard
+    of the accumulator, and the tiled top-k merges per-device tile maxima
+    with one small all-gather + psum of the candidate tiles. Capacity
+    scales linearly with devices (the point of expert parallelism: the
+    reference shards the index because one GPU cannot hold it); the
+    per-search collectives are B*devices*k-scale, never B*num_docs.
+    """
+
+    def __init__(self, num_docs: int, dtype=jnp.bfloat16, mesh=None):
         self.num_docs = num_docs
         self.dtype = dtype
+        self.mesh = mesh
+        self.ndev = 1 if mesh is None else int(mesh.devices.size)
         # per bucket size: device arrays + expert->slot map
         self.buckets: Dict[int, dict] = {}
         self.cls: Optional[jax.Array] = None
@@ -59,11 +78,19 @@ class DeviceExpertIndex:
         # routing_time is host-side and search_time covers dispatch+sync
         self.latency: Dict[str, float] = collections.defaultdict(float)
 
+    def _tiles(self) -> Tuple[int, int]:
+        """(nt, NT): tile count (multiple of ndev) and padded column count."""
+        nt = max(1, -(-(self.num_docs + 1) // TILE))
+        nt = -(-nt // self.ndev) * self.ndev
+        return nt, nt * TILE
+
     # ------------------------------------------------------------- #
 
     @classmethod
-    def from_host_index(cls, host_index, dtype=jnp.bfloat16) -> "DeviceExpertIndex":
-        self = cls(host_index.num_docs, dtype)
+    def from_host_index(
+        cls, host_index, dtype=jnp.bfloat16, mesh=None
+    ) -> "DeviceExpertIndex":
+        self = cls(host_index.num_docs, dtype, mesh=mesh)
         by_bucket: Dict[int, List[Tuple[int, object]]] = collections.defaultdict(list)
         for e, posts in host_index.experts.items():
             # cap at the largest bucket (oversized lists get truncated to
@@ -72,7 +99,9 @@ class DeviceExpertIndex:
 
         n_truncated = 0
         for bsize, entries in by_bucket.items():
-            n_exp = len(entries)
+            # expert-parallel: pad the expert axis to a multiple of the
+            # mesh size (pad experts score exactly 0 into the trash column)
+            n_exp = -(-len(entries) // self.ndev) * self.ndev
             vecs = np.zeros((n_exp, bsize, entries[0][1].vecs.shape[1]), np.float32)
             run_id = np.zeros((n_exp, bsize), np.int32)
             run_doc = np.full((n_exp, bsize), -1, np.int64)
@@ -97,10 +126,13 @@ class DeviceExpertIndex:
                 # pure-pad runs
                 if n < bsize:
                     run_id[slot, n:] = rid[-1] if n else 0
+            shard = self._expert_sharding()
             self.buckets[bsize] = {
-                "vecs": jax.device_put(jnp.asarray(vecs, dtype)),
-                "run_id": jax.device_put(jnp.asarray(run_id)),
-                "run_doc": jax.device_put(jnp.asarray(run_doc.astype(np.int32))),
+                "vecs": jax.device_put(jnp.asarray(vecs, dtype), shard),
+                "run_id": jax.device_put(jnp.asarray(run_id), shard),
+                "run_doc": jax.device_put(
+                    jnp.asarray(run_doc.astype(np.int32)), shard
+                ),
                 "slot_of": {e: s for s, (e, _p) in enumerate(entries)},
             }
         if n_truncated:
@@ -110,8 +142,26 @@ class DeviceExpertIndex:
                 "device search diverges from host search for the dropped docs"
             )
         if host_index.cls is not None:
-            self.cls = jax.device_put(jnp.asarray(host_index.cls, dtype))
+            if self.ndev > 1:
+                # pad CLS rows to the accumulator's column grid and shard
+                # by doc rows: each device adds its slice locally
+                _nt, NT = self._tiles()
+                cls_arr = np.zeros((NT, host_index.cls.shape[1]), np.float32)
+                cls_arr[: host_index.cls.shape[0]] = host_index.cls
+                self.cls = jax.device_put(
+                    jnp.asarray(cls_arr, dtype), self._expert_sharding()
+                )
+            else:
+                self.cls = jax.device_put(jnp.asarray(host_index.cls, dtype))
         return self
+
+    def _expert_sharding(self):
+        """NamedSharding over the leading axis in expert-parallel mode."""
+        if self.ndev == 1:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P("data"))
 
     # ------------------------------------------------------------- #
 
@@ -155,9 +205,9 @@ class DeviceExpertIndex:
         (B, num_docs) accumulator, which reads at ~13 GB/s on v5e (~165 ms
         at B=64, 8.8M docs) versus ~bandwidth for the tile-max reduce.
         """
-        tile = 2048
+        tile = TILE
         nd = self.num_docs
-        nt = max(1, -(-(nd + 1) // tile))
+        nt, _NT = self._tiles()
         kt = min(k, nt)
         acc = jnp.zeros((batch, nt * tile), jnp.float32)
         acc = acc.at[rows, docs].add(vals, mode="drop")
@@ -223,6 +273,106 @@ class DeviceExpertIndex:
         self._search_fns[key] = run
         return run
 
+    def _search_program_sharded(self, batch: int, spec: Tuple[Tuple[int, int], ...],
+                                k: int, has_cls: bool):
+        """Expert-parallel search: one shard_map program over the mesh.
+
+        Per device: score LOCAL experts' postings -> all_gather the flat
+        update triples (B*entries-scale, tiny next to the posting tensors)
+        -> scatter-add into the LOCAL column shard of the accumulator
+        (out-of-shard docs drop; per-device scatter operand is 1/ndev the
+        size, which is where the single-chip scatter cost went) -> local
+        tile maxima -> all_gather (B, nt) -> replicated top-k tile
+        selection -> psum-merged candidate tile gather -> exact top-k.
+        """
+        key = ("program_ep", batch, spec, k, has_cls)
+        if key in self._search_fns:
+            return self._search_fns[key]
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        nd = self.num_docs
+        nt, NT = self._tiles()
+        ndev = self.ndev
+        nt_l = nt // ndev
+        ncols_l = NT // ndev
+        kt = min(k, nt)
+        tile = TILE
+
+        def local(bucket_args, cls_l, q_cls):
+            parts = []
+            for (bsize, _n_pad), args in zip(spec, bucket_args):
+                vecs_l, rid_l, rdoc_l, slots_l, qvecs_l, qrows_l = args
+                r, d, v = self._score_bucket(
+                    vecs_l, rid_l, rdoc_l,
+                    slots_l[0], qvecs_l[0], qrows_l[0], bsize,
+                )
+                parts.append((r, d, v))
+            if parts:
+                rows = jnp.concatenate([p[0] for p in parts])
+                docs = jnp.concatenate([p[1] for p in parts])
+                vals = jnp.concatenate([p[2] for p in parts])
+            else:
+                rows = jnp.zeros((8,), jnp.int32)
+                docs = jnp.full((8,), nd, jnp.int32)
+                vals = jnp.zeros((8,), jnp.float32)
+            # every device needs every device's updates (a doc's score can
+            # combine experts living on different devices)
+            rows = jax.lax.all_gather(rows, "data", tiled=True)
+            docs = jax.lax.all_gather(docs, "data", tiled=True)
+            vals = jax.lax.all_gather(vals, "data", tiled=True)
+            dev = jax.lax.axis_index("data")
+            local_col = docs - dev * ncols_l  # out-of-range -> dropped
+            acc = jnp.zeros((batch, ncols_l), jnp.float32)
+            acc = acc.at[rows, local_col].add(vals, mode="drop")
+            acc = acc.reshape(batch, nt_l, tile)
+            gcol = (
+                dev * ncols_l
+                + jnp.arange(nt_l * tile, dtype=jnp.int32).reshape(nt_l, tile)
+            )
+            valid = gcol < nd
+            if has_cls:
+                cls_scores = jnp.dot(
+                    q_cls.astype(cls_l.dtype), cls_l.T,
+                    preferred_element_type=jnp.float32,
+                )  # (B, ncols_l)
+                acc = acc + cls_scores.reshape(batch, nt_l, tile)
+            tmax_l = jnp.where(valid[None], acc, -jnp.inf).max(axis=-1)
+            tmax = jax.lax.all_gather(
+                tmax_l, "data", axis=1, tiled=True
+            )  # (B, nt) replicated
+            _, tidx = jax.lax.top_k(tmax, kt)  # identical on every device
+            own = (tidx // nt_l) == dev
+            lt = jnp.where(own, tidx % nt_l, 0)
+            cand_l = jnp.take_along_axis(acc, lt[:, :, None], axis=1)
+            cand_l = jnp.where(own[:, :, None], cand_l, 0.0)
+            cand = jax.lax.psum(cand_l, "data")  # each tile owned by one dev
+            cand_col = tidx[:, :, None] * tile + jnp.arange(tile, dtype=jnp.int32)
+            cand = jnp.where(cand_col < nd, cand, -jnp.inf)
+            s, within = jax.lax.top_k(cand.reshape(batch, kt * tile), k)
+            doc = (
+                jnp.take_along_axis(tidx, within // tile, axis=1) * tile
+                + within % tile
+            )
+            return s, doc
+
+        bucket_specs = tuple(
+            (P("data"), P("data"), P("data"), P("data"), P("data"), P("data"))
+            for _ in spec
+        )
+
+        run = jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(bucket_specs, P("data"), P(None, None)),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )
+        )
+        self._search_fns[key] = run
+        return run
+
     def search(
         self, query_out: Dict[str, np.ndarray], topk: int = 100,
         as_numpy: bool = True,
@@ -271,37 +421,82 @@ class DeviceExpertIndex:
 
         self.latency["routing_time"] += time.perf_counter() - tic
         tic = time.perf_counter()
-        spec = []  # (bucket_size, padded entry count) per touched bucket
-        bucket_args = []
-        for bsize, entries in sorted(per_bucket.items()):
-            bucket = self.buckets[bsize]
-            n = len(entries)
-            n_pad = max(8, 1 << (n - 1).bit_length())
-            qrows = np.zeros((n_pad,), np.int32)
-            slots = np.zeros((n_pad,), np.int32)
-            qvecs = np.zeros((n_pad, expert_repr.shape[-1]), np.float32)
-            for j, (b, slot, vec) in enumerate(entries):
-                qrows[j], slots[j], qvecs[j] = b, slot, vec
-            # pad entries: slot 0 with zero qvec -> scores 0 -> zero floor
-            spec.append((bsize, n_pad))
-            bucket_args.append(
-                (
-                    bucket["vecs"],
-                    bucket["run_id"],
-                    bucket["run_doc"],
-                    jnp.asarray(slots),
-                    jnp.asarray(qvecs),
-                    jnp.asarray(qrows),
-                )
-            )
         has_cls = self.cls is not None and "cls_repr" in query_out
         k = min(topk, self.num_docs)
-        run = self._search_program(B, tuple(spec), k, has_cls)
-        if has_cls:
-            q_cls = jnp.asarray(np.asarray(query_out["cls_repr"], np.float32))
-            s, idx = run(tuple(bucket_args), q_cls, self.cls.T)
+        D = expert_repr.shape[-1]
+        spec = []  # (bucket_size, padded entry count) per touched bucket
+        bucket_args = []
+        if self.ndev > 1:
+            # expert-parallel: entries co-locate with their expert's device
+            for bsize, entries in sorted(per_bucket.items()):
+                bucket = self.buckets[bsize]
+                epd = bucket["vecs"].shape[0] // self.ndev
+                per_dev: List[List[Tuple[int, int, np.ndarray]]] = [
+                    [] for _ in range(self.ndev)
+                ]
+                for b, slot, vec in entries:
+                    per_dev[slot // epd].append((b, slot % epd, vec))
+                n_max = max(1, max(len(p) for p in per_dev))
+                n_pad = max(8, 1 << (n_max - 1).bit_length())
+                qrows = np.zeros((self.ndev, n_pad), np.int32)
+                slots = np.zeros((self.ndev, n_pad), np.int32)
+                qvecs = np.zeros((self.ndev, n_pad, D), np.float32)
+                for dv, plist in enumerate(per_dev):
+                    for j, (b, lslot, vec) in enumerate(plist):
+                        qrows[dv, j], slots[dv, j], qvecs[dv, j] = b, lslot, vec
+                spec.append((bsize, n_pad))
+                shard = self._expert_sharding()
+                bucket_args.append(
+                    (
+                        bucket["vecs"],
+                        bucket["run_id"],
+                        bucket["run_doc"],
+                        jax.device_put(jnp.asarray(slots), shard),
+                        jax.device_put(jnp.asarray(qvecs), shard),
+                        jax.device_put(jnp.asarray(qrows), shard),
+                    )
+                )
+            run = self._search_program_sharded(B, tuple(spec), k, has_cls)
+            if has_cls:
+                q_cls = jnp.asarray(np.asarray(query_out["cls_repr"], np.float32))
+                cls_arg = self.cls
+            else:
+                q_cls = jnp.zeros((B, 1), jnp.float32)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                cls_arg = jax.device_put(
+                    jnp.zeros((self.ndev, 1), self.dtype),
+                    NamedSharding(self.mesh, P("data")),
+                )
+            s, idx = run(tuple(bucket_args), cls_arg, q_cls)
         else:
-            s, idx = run(tuple(bucket_args))
+            for bsize, entries in sorted(per_bucket.items()):
+                bucket = self.buckets[bsize]
+                n = len(entries)
+                n_pad = max(8, 1 << (n - 1).bit_length())
+                qrows = np.zeros((n_pad,), np.int32)
+                slots = np.zeros((n_pad,), np.int32)
+                qvecs = np.zeros((n_pad, D), np.float32)
+                for j, (b, slot, vec) in enumerate(entries):
+                    qrows[j], slots[j], qvecs[j] = b, slot, vec
+                # pad entries: slot 0 with zero qvec -> scores 0 -> zero floor
+                spec.append((bsize, n_pad))
+                bucket_args.append(
+                    (
+                        bucket["vecs"],
+                        bucket["run_id"],
+                        bucket["run_doc"],
+                        jnp.asarray(slots),
+                        jnp.asarray(qvecs),
+                        jnp.asarray(qrows),
+                    )
+                )
+            run = self._search_program(B, tuple(spec), k, has_cls)
+            if has_cls:
+                q_cls = jnp.asarray(np.asarray(query_out["cls_repr"], np.float32))
+                s, idx = run(tuple(bucket_args), q_cls, self.cls.T)
+            else:
+                s, idx = run(tuple(bucket_args))
         if not as_numpy:
             self.latency["search_time"] += time.perf_counter() - tic
             return s, idx

@@ -166,3 +166,44 @@ def test_index_pruning_and_quantization():
     sq, rq = quant.search(q_out, topk=6)
     np.testing.assert_allclose(sf, sq, rtol=0.08, atol=0.05)
     assert full.latency["search_time"] > 0  # latency accounting is wired
+
+
+@pytest.mark.parametrize("add_cls", [False, True])
+def test_device_index_expert_parallel_matches_host(add_cls, tmp_path):
+    """Expert-parallel (mesh-sharded) device search == host search ==
+    single-device search (SPMD convention: simulated-mesh coverage)."""
+    import jax.numpy as jnp
+
+    from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
+    from dpr_scale_tpu.parallel import get_mesh
+
+    model, params, doc_out = _encode(
+        "citadel", 8, 12, seed=14, topk=2, add_cls=add_cls
+    )
+    doc_out = {k: np.asarray(v) for k, v in doc_out.items()}
+    host = InvertedExpertIndex(dim=8, num_docs=8)
+    host.add_batch(range(8), doc_out)
+    host.finalize()
+    dev1 = DeviceExpertIndex.from_host_index(host, dtype=jnp.float32)
+    dev8 = DeviceExpertIndex.from_host_index(
+        host, dtype=jnp.float32, mesh=get_mesh(8)
+    )
+
+    rng = np.random.default_rng(15)
+    q_ids = jnp.asarray(rng.integers(5, 32, size=(3, 8)), jnp.int32)
+    q_out = model.apply(
+        params, q_ids, jnp.ones((3, 8), jnp.int32), topk=2, add_cls=add_cls
+    )
+    q_out = {k: np.asarray(v) for k, v in q_out.items()}
+
+    hs, hr = host.search(q_out, topk=8)
+    s1, r1 = dev1.search(q_out, topk=8)
+    s8, r8 = dev8.search(q_out, topk=8)
+    for b in range(3):
+        dense = {}
+        for tag, (ss, rr) in {"h": (hs, hr), "1": (s1, r1), "8": (s8, r8)}.items():
+            vec = np.zeros(8, np.float32)
+            vec[rr[b]] = ss[b]
+            dense[tag] = vec
+        np.testing.assert_allclose(dense["8"], dense["h"], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(dense["8"], dense["1"], rtol=1e-5, atol=1e-5)
