@@ -55,22 +55,57 @@ def main():
     queries = rng.standard_normal((ITERS, QUERY_BATCH, DIM), dtype=np.float32)
     note("queries generated")
 
-    # synthesize the corpus directly on-device, row-sharded (a real corpus
-    # arrives via encode shards; for the bench the 6GB host->device upload
-    # through the axon tunnel would cost ~1min of setup)
-    row_sharded = NamedSharding(mesh, P("data", None))
-    corpus_dev = jax.jit(
-        lambda key: jax.random.normal(key, (CORPUS_ROWS, DIM), jnp.bfloat16),
-        out_shardings=row_sharded,
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(corpus_dev)
-    note("corpus synthesized on device")
-
+    import functools
     import os
 
     method = os.environ.get("BENCH_MIPS_METHOD", "fused")
+    row_sharded = NamedSharding(mesh, P("data", None))
     index = MipsIndex(mesh, dtype=jnp.bfloat16, method=method)
-    index.add_device(corpus_dev)
+    if method == "int8" and CORPUS_ROWS > 4_194_304:
+        # int8 capacity mode: the intermediate bf16 corpus would not fit
+        # HBM, so synthesize + quantize chunk-by-chunk into a donated
+        # int8 buffer (peak = int8 corpus + one bf16 chunk)
+        CH = 1_048_576
+        assert CORPUS_ROWS % CH == 0
+        q8 = jax.jit(
+            lambda: jnp.zeros((CORPUS_ROWS, DIM), jnp.int8),
+            out_shardings=row_sharded,
+        )()
+        sc = jax.jit(
+            lambda: jnp.ones((CORPUS_ROWS,), jnp.float32),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def fill(q8, sc, key, lo):
+            e = jax.random.normal(key, (CH, DIM), jnp.bfloat16)
+            s = jnp.max(jnp.abs(e.astype(jnp.float32)), axis=1) / 127.0
+            s = jnp.where(s == 0.0, 1.0, s)
+            q = jnp.clip(
+                jnp.rint(e.astype(jnp.float32) / s[:, None]), -127, 127
+            ).astype(jnp.int8)
+            q8 = jax.lax.dynamic_update_slice(q8, q, (lo, 0))
+            sc = jax.lax.dynamic_update_slice(sc, s, (lo,))
+            return q8, sc
+
+        for ci, lo in enumerate(range(0, CORPUS_ROWS, CH)):
+            q8, sc = fill(
+                q8, sc, jax.random.PRNGKey(ci), jnp.int32(lo)
+            )
+        jax.block_until_ready(q8)
+        note("int8 corpus synthesized on device (chunked)")
+        index.add_device_quantized(q8, sc)
+    else:
+        # synthesize the corpus directly on-device, row-sharded (a real
+        # corpus arrives via encode shards; for the bench the 6GB
+        # host->device upload through the axon tunnel would cost ~1min)
+        corpus_dev = jax.jit(
+            lambda key: jax.random.normal(key, (CORPUS_ROWS, DIM), jnp.bfloat16),
+            out_shardings=row_sharded,
+        )(jax.random.PRNGKey(0))
+        jax.block_until_ready(corpus_dev)
+        note("corpus synthesized on device")
+        index.add_device(corpus_dev)
     note("index built")
 
     # on-device timing of the verified-exact pipeline (the axon tunnel's

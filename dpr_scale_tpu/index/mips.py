@@ -245,7 +245,7 @@ class MipsIndex:
         if self.method == "int8":
             # quantize in place on device (same math as add(); row scales
             # stay sharded alongside the rows)
-            def _quant(e):
+            def _quant(e):  # noqa: E306
                 sc = jnp.max(jnp.abs(e.astype(jnp.float32)), axis=1) / 127.0
                 sc = jnp.where(sc == 0.0, 1.0, sc)
                 q8 = jnp.clip(
@@ -261,6 +261,30 @@ class MipsIndex:
         else:
             self._scales.append(None)
         self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
+        self._total_rows += n
+
+    def add_device_quantized(
+        self, q8_dev: jax.Array, scales_dev: jax.Array,
+        n_valid: Optional[int] = None,
+    ) -> None:
+        """int8 mode only: add an already-quantized row-sharded block
+        (per-row symmetric, scale = max|row|/127 as in :meth:`add`).
+        Lets callers quantize in chunks when the unquantized block would
+        not fit HBM (e.g. >10M x 768 corpora on a 16 GB chip)."""
+        assert self.method == "int8"
+        n_pad, d = q8_dev.shape
+        assert q8_dev.dtype == jnp.int8 and scales_dev.shape == (n_pad,)
+        if self._dim is None:
+            self._dim = d
+        n = n_valid if n_valid is not None else n_pad
+        row_sharded = NamedSharding(self.mesh, P("data", None))
+        valid = np.zeros((n_pad, 1), dtype=np.bool_)
+        valid[:n] = True
+        self._blocks.append(
+            (q8_dev, jax.device_put(jnp.asarray(valid), row_sharded), n,
+             self._total_rows)
+        )
+        self._scales.append(scales_dev)
         self._total_rows += n
 
     @property

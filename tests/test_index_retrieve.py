@@ -543,3 +543,30 @@ def test_int8_multi_block_and_recall():
         + 0.25 * corpus.shape[1] * sc[i] * qsc[:, None]
     )
     assert (np.abs(s - exact_at_i) <= bound + 1e-4).all()
+
+
+def test_int8_add_device_quantized_matches_add():
+    """Chunked pre-quantized blocks == host-quantized add() (the >HBM
+    int8 capacity path used by bench.py)."""
+    rng = np.random.default_rng(33)
+    corpus = _grid_embeddings(rng, 1024, 16)
+    queries = _grid_embeddings(rng, 4, 16)
+    mesh = get_mesh(8)
+    a = MipsIndex(mesh, method="int8")
+    a.add(corpus)
+    b = MipsIndex(mesh, method="int8")
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    row_sharded = NamedSharding(mesh, P("data", None))
+    sc = np.abs(corpus).max(axis=1) / 127.0
+    sc[sc == 0] = 1.0
+    q8 = np.clip(np.rint(corpus / sc[:, None]), -127, 127).astype(np.int8)
+    b.add_device_quantized(
+        jax.device_put(jnp.asarray(q8), row_sharded),
+        jax.device_put(jnp.asarray(sc, jnp.float32), NamedSharding(mesh, P("data"))),
+    )
+    sa, ia = a.search(queries, k=7)
+    sb, ib = b.search(queries, k=7)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(sa, sb, rtol=1e-6)
