@@ -142,10 +142,8 @@ class MipsIndex:
         bf16 = 32GB on chips with 16GB each). Per-block state (one upload
         per block per search call) trades bandwidth for capacity."""
         assert method in ("groupmax", "fused", "auto", "approx", "exact_sort", "int8")
-        assert not (method == "int8" and host_resident), (
-            "int8 mode keeps blocks device-resident (its point is fitting "
-            "2x the corpus in HBM); use host_resident with a float method"
-        )
+        # int8 + host_resident composes: blocks stream as int8 (HALF the
+        # upload bytes of bf16 — the streaming mode is upload-bound)
         self.mesh = mesh
         self.dtype = dtype
         self.method = method
@@ -186,6 +184,14 @@ class MipsIndex:
             # jnp conversion would round-trip the accelerator, which over a
             # tunneled deployment means a pathological download); upload
             # happens per search call, pipelined against compute
+            if self.method == "int8":
+                sc = np.abs(emb).max(axis=1) / 127.0
+                sc[sc == 0.0] = 1.0
+                q8 = np.clip(np.rint(emb / sc[:, None]), -127, 127).astype(np.int8)
+                self._blocks.append((q8, valid, n, self._total_rows))
+                self._scales.append(sc.astype(np.float32))
+                self._total_rows += n
+                return
             host_emb = np.ascontiguousarray(emb.astype(np.dtype(self.dtype)))
             self._blocks.append((host_emb, valid, n, self._total_rows))
             self._scales.append(None)
@@ -214,13 +220,17 @@ class MipsIndex:
         self._scales.append(None)
         self._total_rows += n
 
-    def _materialize(self, emb, valid):
+    def _materialize(self, emb, valid, scales=None):
         """Host-resident blocks stream through the device on demand."""
         if isinstance(emb, np.ndarray):
             row_sharded = NamedSharding(self.mesh, P("data", None))
             emb = jax.device_put(jnp.asarray(emb), row_sharded)
             valid = jax.device_put(jnp.asarray(valid), row_sharded)
-        return emb, valid
+            if scales is not None and isinstance(scales, np.ndarray):
+                scales = jax.device_put(
+                    jnp.asarray(scales), NamedSharding(self.mesh, P("data"))
+                )
+        return emb, valid, scales
 
     def add_device(self, emb_dev: jax.Array, n_valid: Optional[int] = None) -> None:
         """Add an already device-resident, row-sharded (N_pad, D) block
@@ -989,15 +999,17 @@ class MipsIndex:
         per_block_s, per_block_i = [], []
         # host-resident mode: pipeline the next block's host->device upload
         # against the current block's search (device_put is async)
-        next_dev = self._materialize(*self._blocks[0][:2])
+        next_dev = self._materialize(*self._blocks[0][:2], self._scales[0])
         for bi, (emb, valid, _n, offset) in enumerate(self._blocks):
             # never ask a block for more rows than every device holds
             k_block = min(k_eff, emb.shape[0] // self.ndev)
-            emb_d, valid_d = next_dev
+            emb_d, valid_d, scales_d = next_dev
             if bi + 1 < len(self._blocks):
-                next_dev = self._materialize(*self._blocks[bi + 1][:2])
+                next_dev = self._materialize(
+                    *self._blocks[bi + 1][:2], self._scales[bi + 1]
+                )
             s, i = self._search_block(
-                emb_d, valid_d, q, k_block, n_valid=_n, scales=self._scales[bi]
+                emb_d, valid_d, q, k_block, n_valid=_n, scales=scales_d
             )
             del emb_d, valid_d  # host-resident mode: free HBM before next block
             i = i.astype(np.int64) + offset

@@ -131,13 +131,63 @@ def main():
         enc + ["task.topk=5", f"task.output_path={wd}/retrieval.json"]
     )
 
-    print("=== 4/4 evaluate ===")
+    print("=== 4/5 evaluate ===")
     from dpr_scale_tpu.eval.qa_eval import evaluate_retrieval
 
     acc = evaluate_retrieval(f"{wd}/retrieval.json", topk=[1, 5])
     import numpy as np
 
     assert np.mean(acc[5]) > 0.5, "demo model failed to learn — unexpected"
+
+    print("=== 5/5 CITADEL multi-vector: train + inverted index + retrieve ===")
+    cit = base + [
+        "task.type=multivec", "task.variant=citadel",
+        "task.tok_projection_dim=8", "task.cls_projection_dim=8",
+        "task.add_cls=true", "task.query_topk=1", "task.context_topk=2",
+        "task.query_router_marg_load_loss_coef=0.01",
+    ]
+    train_main(
+        cit + [
+            f"datamodule.train_path={train}", f"datamodule.val_path={train}",
+            "datamodule.batch_size=12", "datamodule.num_negative=1",
+            "task.optim.lr=0.003", "task.warmup_steps=5",
+            f"checkpoint_callback.dirpath={wd}/ckpt_cit",
+            "trainer.max_epochs=4", "trainer.log_every=50",
+        ]
+    )
+    from dpr_scale_tpu.cli.generate_multivec_embeddings import main as genmv_main
+
+    genmv_main(
+        cit + [
+            f"task.checkpoint_path={wd}/ckpt_cit/params_best",
+            f"datamodule.passages_path={passages}",
+            f"task.ctx_embeddings_dir={wd}/cit_index",
+            "task.weight_threshold=0.0", "task.shard=0", "task.num_shards=1",
+        ]
+    )
+    # TREC-format query file for the retrieval CLI
+    with open(f"{wd}/queries.tsv", "w") as f:
+        for i, line in enumerate(open(queries)):
+            f.write(f"q{i}\t{line.split(chr(9))[0]}\n")
+    from dpr_scale_tpu.cli.citadel_retrieval import main as cit_main
+
+    common = cit + [
+        f"task.checkpoint_path={wd}/ckpt_cit/params_best",
+        f"task.ctx_embeddings_dir={wd}/cit_index",
+        f"datamodule.passages_path={passages}",
+        f"datamodule.test_path={wd}/queries.tsv",
+        "datamodule.trec_format=true",
+    ]
+    cit_main(common + [f"task.output_trec_path={wd}/cit_host.trec"])
+    cit_main(
+        common
+        + ["task.device_index=true", f"task.output_trec_path={wd}/cit_dev.trec"]
+    )
+    host_top1 = [ln.split()[2] for ln in open(f"{wd}/cit_host.trec") if ln.split()[3] == "1"]
+    dev_top1 = [ln.split()[2] for ln in open(f"{wd}/cit_dev.trec") if ln.split()[3] == "1"]
+    agree = sum(h == d for h, d in zip(host_top1, dev_top1)) / max(1, len(host_top1))
+    print(f"CITADEL host vs device top-1 agreement: {agree:.2f}")
+    assert agree >= 0.9, "device index diverged from host search"
     print("demo complete:", wd)
 
 

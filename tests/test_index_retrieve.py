@@ -570,3 +570,20 @@ def test_int8_add_device_quantized_matches_add():
     sb, ib = b.search(queries, k=7)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(sa, sb, rtol=1e-6)
+
+
+def test_int8_host_resident_matches_device():
+    """int8 + host_resident (streamed int8 blocks, half the upload bytes)
+    must match the device-resident int8 index exactly."""
+    rng = np.random.default_rng(34)
+    blocks = [_grid_embeddings(rng, n, 16) for n in (1024, 512)]
+    queries = _grid_embeddings(rng, 5, 16)
+    dev = MipsIndex(get_mesh(8), method="int8")
+    host = MipsIndex(get_mesh(8), method="int8", host_resident=True)
+    for b in blocks:
+        dev.add(b)
+        host.add(b)
+    sd, idd = dev.search(queries, k=9)
+    sh, ih = host.search(queries, k=9)
+    np.testing.assert_array_equal(idd, ih)
+    np.testing.assert_allclose(sd, sh, rtol=1e-6)

@@ -41,19 +41,23 @@ def log(msg, _t=[time.perf_counter()]):
 
 
 def main():
+    import os
+
     n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    method = os.environ.get("BENCH_MIPS_METHOD", "fused")
     mesh = get_mesh()
     rng = np.random.default_rng(0)
     # one host block reused n times: identical timing, 6x less host RAM/gen
     block_f32 = rng.standard_normal((BLOCK_ROWS, DIM), dtype=np.float32)
     log("block generated")
 
-    index = MipsIndex(mesh, dtype=jnp.bfloat16, method="fused", host_resident=True)
+    index = MipsIndex(mesh, dtype=jnp.bfloat16, method=method, host_resident=True)
     for _ in range(n_blocks):
         index.add(block_f32)
     del block_f32
-    total_gb = n_blocks * BLOCK_ROWS * DIM * 2 / 1e9
-    log(f"index built: {index.num_rows:,} rows, {total_gb:.1f} GB bf16 host-resident")
+    bytes_per = 1 if method == "int8" else 2
+    total_gb = n_blocks * BLOCK_ROWS * DIM * bytes_per / 1e9
+    log(f"index built: {index.num_rows:,} rows, {total_gb:.1f} GB {method if method == 'int8' else 'bf16'} host-resident")
 
     queries = rng.standard_normal((B, DIM), dtype=np.float32)
 
