@@ -33,7 +33,11 @@ def main(argv=None):
     tokenizer = build_tokenizer(cfg)
     task = build_task(cfg)
     d = cfg.datamodule
-    index = build_index(cfg.task["ctx_embeddings_dir"], task.mesh)
+    index = build_index(
+        cfg.task["ctx_embeddings_dir"], task.mesh,
+        host_resident=cfg.task.get("host_resident_index", False),
+        method=cfg.task.get("mips_method", "fused"),
+    )
     outputs = []
     for qs in cfg.task["query_sets"]:
         with open(qs["query_emb_path"], "rb") as f:
