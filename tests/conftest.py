@@ -6,6 +6,18 @@ cross-shard top-k merge) is exercised on a simulated mesh.
 """
 import os
 
+# The suite is CPU-only by design, but the axon TPU plugin registers an
+# in-process tunnel client from sitecustomize at interpreter startup
+# whenever PALLAS_AXON_POOL_IPS is set. Strip the trigger var so every
+# child process this suite spawns (CLI-tool tests, sweep, supervisor)
+# starts WITHOUT the plugin — children otherwise each claim the TPU
+# tunnel at interpreter start, contending with any concurrent TPU work.
+# (Historical note: the suite's flaky "Fatal Python error: Aborted" was
+# NOT this — it was XLA's CPU collective rendezvous hard 40 s
+# termination timeout under a long async SPMD dispatch queue; see
+# test_tasks_extra.py::test_distill_task_learns.)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")  # stabilize torch-side numerics
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -69,8 +69,15 @@ def test_distill_task_learns(tiny_bert_dir):
     sb = task.shard(batch)
     state, m = step(state, sb)
     first_loss = float(m["train_loss"])
-    for _ in range(80):
+    for i in range(80):
         state, m = step(state, sb)
+        if i % 16 == 15:
+            # sync: an unbounded async queue of SPMD steps can starve one
+            # virtual device's collective-rendezvous thread past XLA's
+            # hard 40 s termination timeout on a 1-core host
+            # (rendezvous.cc "only 7 of 8 arrived" -> SIGABRT — the
+            # suite's historical flaky "Fatal Python error")
+            float(m["train_loss"])
     assert float(m["train_loss"]) < first_loss * 0.8
     ev = task.run_eval(state, [batch])
     assert ev["query_count"] == 16
