@@ -9,13 +9,18 @@ TPU-native layout for the posting lists of
     (per-expert doc-run segmentation, postings sorted by doc), and
     ``run_doc[b]: (experts_b, L_b)`` (the doc id of each run, -1 pad);
   * a query's routed (expert, weighted-vector) entries are grouped by
-    bucket on the host, padded to powers of two, and each bucket runs ONE
-    jitted program: gather posting blocks -> einsum scores (MXU) ->
-    per-doc ``segment_max`` (the MaxSim inner max, with the training
-    objective's zero floor) -> scatter-add into the dense (B, num_docs)
-    accumulator (the sum over query tokens);
-  * CLS scores add via a plain matmul; top-k via ``lax.top_k`` on the
-    accumulator.
+    bucket on the host and padded to powers of two; the WHOLE search is
+    one jitted program: per bucket, gather posting blocks -> einsum
+    scores (MXU) -> per-doc ``segment_max`` (the MaxSim inner max, with
+    the training objective's zero floor) emitting flat (row, doc, value)
+    updates; then ONE combined scatter-add into the dense accumulator
+    (an XLA scatter pays a whole-operand rewrite regardless of update
+    count, so exactly one per search) + optional CLS matmul + tiled
+    exact top-k (tile maxima -> top-k tiles -> gather -> re-top-k; the
+    group-max containment argument makes it exact, and it avoids
+    ``lax.top_k``'s ~13 GB/s full-accumulator read);
+  * with a multi-device mesh, the expert axis shards across devices
+    (expert-parallel, see the class docstring).
 
 This is the accelerator counterpart of the numpy search in
 ``inverted.py`` (reference behavior: the missing
@@ -26,7 +31,6 @@ host search and the training scorer.
 from __future__ import annotations
 
 import collections
-import functools
 import time
 from typing import Dict, List, Optional, Tuple
 
