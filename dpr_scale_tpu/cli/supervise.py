@@ -30,6 +30,20 @@ import sys
 import time
 
 
+def _exit_code(rc: int) -> int:
+    """Normalize a child's return code into a valid exit status.
+
+    Popen reports signal deaths as NEGATIVE codes (-15 after SIGTERM);
+    passing those to sys.exit maps through the OS to e.g. 241, which is
+    indistinguishable from an unrelated failure. Use the shell convention
+    128 + signum instead (SIGTERM -> 143), and 1 for a zero rc reached on
+    budget exhaustion.
+    """
+    if rc is None or rc == 0:
+        return 1
+    return 128 - rc if rc < 0 else rc
+
+
 def run_supervised(
     cmd,
     max_crashes: int = 3,
@@ -71,7 +85,7 @@ def run_supervised(
             )
             if timeouts > max_timeouts:
                 _print("[supervise] timeout budget exhausted", flush=True)
-                return rc or 1
+                return _exit_code(rc)
         else:
             crashes += 1
             _print(
@@ -80,7 +94,7 @@ def run_supervised(
             )
             if crashes > max_crashes:
                 _print("[supervise] crash budget exhausted", flush=True)
-                return rc
+                return _exit_code(rc)
         if backoff:
             time.sleep(backoff)
 

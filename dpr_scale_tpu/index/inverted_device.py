@@ -326,7 +326,13 @@ class DeviceExpertIndex:
             docs = jax.lax.all_gather(docs, "data", tiled=True)
             vals = jax.lax.all_gather(vals, "data", tiled=True)
             dev = jax.lax.axis_index("data")
-            local_col = docs - dev * ncols_l  # out-of-range -> dropped
+            # CAREFUL: scatter mode="drop" only drops after JAX wraps
+            # NEGATIVE advanced indices (idx + axis_size), so a doc owned by
+            # device dev-1 would land in-bounds here and corrupt doc
+            # doc+ncols_l. Route out-of-shard docs to the positive-OOB index
+            # ncols_l, which mode="drop" genuinely discards.
+            in_shard = (docs >= dev * ncols_l) & (docs < (dev + 1) * ncols_l)
+            local_col = jnp.where(in_shard, docs - dev * ncols_l, ncols_l)
             acc = jnp.zeros((batch, ncols_l), jnp.float32)
             acc = acc.at[rows, local_col].add(vals, mode="drop")
             acc = acc.reshape(batch, nt_l, tile)

@@ -111,7 +111,9 @@ class SelfAttention(nn.Module):
                 q.transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
-                attn_bias[:, 0],  # (B, 1, L) additive
+                # the kernel's VJP has no bias cotangent — only a
+                # mask-derived (non-trainable) bias may flow through it
+                jax.lax.stop_gradient(attn_bias[:, 0]),  # (B, 1, L) additive
                 seed,
                 rate,
                 on_cpu,  # interpret mode for simulated-mesh CPU tests

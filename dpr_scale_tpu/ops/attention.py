@@ -142,6 +142,13 @@ def fused_attention(q, k, v, bias, seed, rate: float = 0.0, interpret: bool = Fa
     (ignored when rate == 0). ``rate``/``interpret`` are static.
     ``rate > 0`` requires a real TPU (the in-kernel PRNG has no
     interpret-mode lowering).
+
+    NOT differentiable in ``bias``: the VJP returns a ZERO bias cotangent
+    (the true gradient through the softmax is nonzero). Fine for the
+    intended caller — an additive mask derived from non-trainable integer
+    attention masks — but do NOT feed a learned bias (e.g. relative
+    position biases) through this op; wrap it in ``lax.stop_gradient`` at
+    the call site to make the intent explicit.
     """
     return _fused_attention_fwd_impl(q, k, v, bias, seed, rate, interpret)
 

@@ -168,6 +168,51 @@ def test_index_pruning_and_quantization():
     assert full.latency["search_time"] > 0  # latency accounting is wired
 
 
+def test_device_index_expert_parallel_large_corpus():
+    """Regression: the EP scatter must DROP out-of-shard doc columns.
+
+    ``docs - dev*ncols_l`` goes negative for docs owned by a lower device,
+    and JAX wraps negative advanced indices (idx + axis_size) BEFORE the
+    ``mode="drop"`` OOB check — so doc d owned by device dev-1 used to add
+    its score to global doc d+ncols_l on device dev. Only visible when
+    num_docs > ncols_l, i.e. several devices own real columns (the small
+    8-doc parity test hits masked pad columns and cannot see it), so this
+    test uses num_docs > 2*TILE.
+    """
+    from dpr_scale_tpu.index.inverted import _ExpertPostings
+    from dpr_scale_tpu.index.inverted_device import TILE, DeviceExpertIndex
+    from dpr_scale_tpu.parallel import get_mesh
+
+    num_docs = 2 * TILE + 904  # 5000: three mesh(8) devices own real columns
+    D = 8
+    rng = np.random.default_rng(42)
+    host = InvertedExpertIndex(dim=D, num_docs=num_docs)
+    for e in range(16):
+        n = int(rng.integers(20, 100))
+        ids = np.sort(rng.choice(num_docs, size=n, replace=False)).astype(np.int64)
+        host.experts[e] = _ExpertPostings(
+            ids, np.ones(n, np.float32), rng.normal(size=(n, D)).astype(np.float32)
+        )
+
+    B, T = 3, 6
+    q_out = {
+        "expert_ids": rng.integers(0, 16, size=(B, T)).astype(np.int64),
+        "expert_repr": rng.normal(size=(B, T, D)).astype(np.float32),
+        "attention_mask": np.ones((B, T), np.int64),
+    }
+    hs, hr = host.search(q_out, topk=10)
+    dev8 = DeviceExpertIndex.from_host_index(
+        host, dtype=jnp.float32, mesh=get_mesh(8)
+    )
+    s8, r8 = dev8.search(q_out, topk=10)
+    for b in range(B):
+        dense_h = np.zeros(num_docs + 1, np.float32)
+        dense_h[hr[b]] = hs[b]
+        dense_d = np.zeros(num_docs + 1, np.float32)
+        dense_d[r8[b]] = s8[b]
+        np.testing.assert_allclose(dense_d, dense_h, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("add_cls", [False, True])
 def test_device_index_expert_parallel_matches_host(add_cls, tmp_path):
     """Expert-parallel (mesh-sharded) device search == host search ==
