@@ -43,6 +43,10 @@ class TransformerConfig:
     # drawn in-kernel — see dpr_scale_tpu.ops.attention). On CPU the
     # kernel runs interpreted, so dropout>0 there falls back to einsum.
     fused_attention: bool = False
+    # fused Pallas FFN (matmul + GELU + matmul + dropout, bwd split into
+    # dgrad/wgrad kernels — see dpr_scale_tpu.ops.ffn). Same CPU fallback
+    # rule as fused_attention.
+    fused_ffn: bool = False
 
     @staticmethod
     def tiny(vocab_size: int = 32) -> "TransformerConfig":
@@ -135,6 +139,21 @@ class SelfAttention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Owns an nn.Dense-layout (kernel, bias) param pair without the
+    matmul — lets the fused-FFN path share checkpoints with nn.Dense."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02), self.shape, jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[1],), jnp.float32)
+        return kernel, bias
+
+
 class TransformerLayer(nn.Module):
     cfg: TransformerConfig
 
@@ -146,16 +165,42 @@ class TransformerLayer(nn.Module):
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="attention_ln"
         )(x + attn)
-        ffn = nn.Dense(
-            cfg.intermediate_size, dtype=cfg.dtype, name="intermediate",
-            kernel_init=nn.initializers.normal(0.02),
-        )(x)
-        ffn = nn.gelu(ffn, approximate=False)
-        ffn = nn.Dense(
-            cfg.hidden_size, dtype=cfg.dtype, name="ffn_output",
-            kernel_init=nn.initializers.normal(0.02),
-        )(ffn)
-        ffn = nn.Dropout(cfg.hidden_dropout)(ffn, deterministic=deterministic)
+        rate = 0.0 if deterministic else cfg.hidden_dropout
+        on_cpu = jax.default_backend() == "cpu"
+        if cfg.fused_ffn and not (rate > 0.0 and on_cpu):
+            from dpr_scale_tpu.ops.ffn import fused_ffn
+
+            # param tree identical to the einsum path's nn.Dense modules
+            # (intermediate/{kernel,bias}, ffn_output/{kernel,bias}) so
+            # checkpoints interop regardless of the fused_ffn flag
+            w1, b1 = _DenseParams(
+                (cfg.hidden_size, cfg.intermediate_size), name="intermediate"
+            )()
+            w2, b2 = _DenseParams(
+                (cfg.intermediate_size, cfg.hidden_size), name="ffn_output"
+            )()
+            if rate > 0.0:
+                bits = jax.random.bits(self.make_rng("dropout"), (), "uint32")
+                seed = jax.lax.bitcast_convert_type(bits, jnp.int32)[None]
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            B, L, H = x.shape
+            ffn = fused_ffn(
+                x.reshape(B * L, H).astype(cfg.dtype),
+                w1, b1, w2, b2, seed, rate,
+                on_cpu,  # interpret mode for simulated-mesh CPU tests
+            ).reshape(B, L, H)
+        else:
+            ffn = nn.Dense(
+                cfg.intermediate_size, dtype=cfg.dtype, name="intermediate",
+                kernel_init=nn.initializers.normal(0.02),
+            )(x)
+            ffn = nn.gelu(ffn, approximate=False)
+            ffn = nn.Dense(
+                cfg.hidden_size, dtype=cfg.dtype, name="ffn_output",
+                kernel_init=nn.initializers.normal(0.02),
+            )(ffn)
+            ffn = nn.Dropout(cfg.hidden_dropout)(ffn, deterministic=deterministic)
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="output_ln"
         )(x + ffn)

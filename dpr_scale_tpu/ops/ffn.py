@@ -1,0 +1,375 @@
+"""Fused transformer FFN Pallas kernels (matmul + GELU + matmul + dropout).
+
+TPU-first replacement for the einsum FFN block in
+:class:`dpr_scale_tpu.models.transformer.TransformerLayer` (itself the
+re-expression of the reference's HF encoder MLP,
+dpr_scale/models/hf_model.py:12-41). The FFN pair is ~2/3 of a BERT train
+step's matmul FLOPs, and docs/STATUS.md attributes the measured ~47% MFU
+plateau to backward-matmul efficiency plus the pointwise chains around
+them — exactly what these kernels take over from XLA:
+
+  * **forward** — one kernel, grid ``(N tiles, F tiles)``: per step,
+    ``pre = x @ w1 + b1`` (fp32 MXU accumulation), exact GELU in fp32 on
+    the VPU, second matmul accumulated across F tiles in an fp32 VMEM
+    scratch, bias + inverted dropout applied in-register at the last F
+    tile with the TPU-native PRNG — the (N, F) intermediate is written
+    once in bf16 as the bwd residual, and no dropout mask tensor exists;
+  * **backward** — split cuDNN-style so every weight-gradient output
+    block stays VMEM-resident across its whole accumulation:
+      - dgrad, grid ``(N tiles, F tiles)``: regenerates the dropout mask
+        (same per-N-tile seeding as fwd), fuses the GELU derivative into
+        the two data-gradient matmuls, accumulates ``dx`` in scratch;
+      - wgrad, grid ``(F tiles, N tiles)`` with the N axis innermost:
+        ``dw1/dw2/db1`` blocks are indexed by the F tile only, so they
+        are revisited in CONSECUTIVE grid steps and accumulate in fp32
+        without ever round-tripping HBM;
+  * residuals are ``x`` and the bf16 ``pre`` — the same footprint the
+    XLA path saves, so memory behavior is unchanged.
+
+Semantics match the einsum path: bf16 matmul inputs with fp32
+accumulation, exact (erf) GELU, dropout AFTER the second bias add with
+inverted scaling. Dropout realizations differ from ``nn.Dropout``
+(different generator), immaterial to training. NOT differentiable in
+``seed`` (float0) — and like all dropout, fwd/bwd must see the same seed.
+
+Shapes: x ``(N, H)``; w1 ``(H, F)``; b1 ``(F,)``; w2 ``(F, H)``;
+b2 ``(H,)``; seed ``(1,)`` int32. N is padded internally to the row-tile
+multiple; H and F must be multiples of 128 (bert/roberta families all
+are). Weight gradients are returned in fp32.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7 — far below
+    bf16 resolution). Pallas TPU has no lowering for lax.erf, so the
+    kernel carries its own; exp IS lowered."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu(pre):
+    """Exact GELU in fp32 (matches nn.gelu(approximate=False))."""
+    return pre * 0.5 * (1.0 + _erf(pre * _INV_SQRT2))
+
+
+def _dgelu(pre):
+    """d/dx of exact GELU: Phi(x) + x * phi(x)."""
+    phi = jnp.exp(pre * pre * -0.5) * _INV_SQRT2PI
+    return 0.5 * (1.0 + _erf(pre * _INV_SQRT2)) + pre * phi
+
+
+def _keep_mask(shape, rate):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thr = jnp.uint32(min(int(round(rate * 2**32)), 2**32 - 1))
+    return bits >= thr
+
+
+def _tiles(N: int, H: int, F: int, itemsize: int):
+    """(TN, TF): row/F-tile sizes fitting the fwd+bwd VMEM working sets."""
+    import os
+
+    env_tn, env_tf = os.environ.get("DPR_FFN_TN"), os.environ.get("DPR_FFN_TF")
+    if env_tn or env_tf:  # benchmark experimentation only
+        return int(env_tn or 512), int(env_tf or F)
+    TN = 512 if N >= 512 else max(8, -(-N // 8) * 8)
+    if F < 128:  # test-scale configs (interpret mode only)
+        return TN, F
+    # F tile: largest 128-multiple divisor of F such that the wgrad
+    # working set (the fattest: x, pre, dpre, dz blocks + fp32 dw1/dw2/db1
+    # accumulators, double-buffered inputs) stays under ~10 MB
+    budget = 10 * 1024 * 1024
+    best = 128
+    for tf in range(F, 127, -128):
+        if F % tf:
+            continue
+        inputs = 2 * (TN * H + 2 * TN * tf + TN * H) * itemsize  # dbl-buffered
+        accs = 4 * (H * tf + tf * H + tf)  # fp32 resident outputs
+        if inputs + accs <= budget:
+            best = tf
+            break
+    return TN, best
+
+
+# ------------------------------------------------------------------ #
+# forward
+
+
+def _fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                y_ref, pre_ref, acc_ref, *, rate, nF):
+    j = pl.program_id(1)
+    pre = jnp.dot(
+        x_ref[:], w1_ref[:], preferred_element_type=jnp.float32
+    ) + b1_ref[:].astype(jnp.float32)
+    pre_ref[:] = pre.astype(pre_ref.dtype)
+    h = _gelu(pre).astype(x_ref.dtype)
+    part = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(j == nF - 1)
+    def _():
+        y = acc_ref[:] + b2_ref[:].astype(jnp.float32)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+            keep = _keep_mask(y.shape, rate)
+            y = jnp.where(keep, y * (1.0 / (1.0 - rate)), 0.0)
+        y_ref[:] = y.astype(y_ref.dtype)
+
+
+def _fwd_impl(x, w1, b1, w2, b2, seed, rate, interpret):
+    N, H = x.shape
+    F = w1.shape[1]
+    TN, TF = _tiles(N, H, F, x.dtype.itemsize)
+    Np = -(-N // TN) * TN
+    if Np != N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+    nN, nF = Np // TN, F // TF
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    b1r = b1.reshape(1, F).astype(x.dtype)
+    b2r = b2.reshape(1, H).astype(x.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nN, nF),
+        in_specs=[
+            pl.BlockSpec((TN, H), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, TF), lambda i, j, s: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), lambda i, j, s: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, H), lambda i, j, s: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i, j, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TN, H), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TF), lambda i, j, s: (i, j), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((TN, H), jnp.float32)],
+    )
+    y, pre = pl.pallas_call(
+        functools.partial(_fwd_kernel, rate=rate, nF=nF),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, H), x.dtype),
+            jax.ShapeDtypeStruct((Np, F), x.dtype),
+        ),
+        interpret=interpret,
+    )(seed, x, w1c, b1r, w2c, b2r)
+    return y[:N], pre, Np
+
+
+# ------------------------------------------------------------------ #
+# backward: dgrad
+
+
+def _dgrad_kernel(seed_ref, g_ref, pre_ref, w1_ref, w2_ref,
+                  dx_ref, dpre_ref, dz_ref, dxacc_ref, dz_s, *, rate, nF):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        g = g_ref[:].astype(jnp.float32)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+            keep = _keep_mask(g.shape, rate)
+            g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
+        dz_s[:] = g.astype(dz_s.dtype)
+        dz_ref[:] = g.astype(dz_ref.dtype)
+
+    dz = dz_s[:]
+    # dh_j = dz @ w2_j^T  (contract H)
+    dh = jax.lax.dot_general(
+        dz, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pre = pre_ref[:].astype(jnp.float32)
+    dpre = dh * _dgelu(pre)
+    dpre_lp = dpre.astype(dpre_ref.dtype)
+    dpre_ref[:] = dpre_lp
+    # dx += dpre_j @ w1_j^T  (contract F tile)
+    part = jax.lax.dot_general(
+        dpre_lp, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        dxacc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        dxacc_ref[:] = dxacc_ref[:] + part
+
+    @pl.when(j == nF - 1)
+    def _():
+        dx_ref[:] = dxacc_ref[:].astype(dx_ref.dtype)
+
+
+# backward: wgrad
+
+
+def _wgrad_kernel(x_ref, pre_ref, dpre_ref, dz_ref,
+                  dw1_ref, dw2_ref, db1_ref):
+    i = pl.program_id(1)
+    x = x_ref[:]
+    dpre = dpre_ref[:]
+    # dw1_j += x_i^T @ dpre_ij  (contract rows)
+    dw1 = jax.lax.dot_general(
+        x, dpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = _gelu(pre_ref[:].astype(jnp.float32)).astype(x.dtype)
+    # dw2_j += h_ij^T @ dz_i
+    dw2 = jax.lax.dot_general(
+        h, dz_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:] = dw1
+        dw2_ref[:] = dw2
+        db1_ref[:] = db1
+
+    @pl.when(i > 0)
+    def _():
+        dw1_ref[:] = dw1_ref[:] + dw1
+        dw2_ref[:] = dw2_ref[:] + dw2
+        db1_ref[:] = db1_ref[:] + db1
+
+
+def _bwd_impl(x, w1, w2, pre, seed, g, rate, interpret, Np):
+    N, H = x.shape
+    F = w1.shape[1]
+    TN, TF = _tiles(N, H, F, x.dtype.itemsize)
+    if Np != N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+        g = jnp.pad(g, ((0, Np - N), (0, 0)))
+    nN, nF = Np // TN, F // TF
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    g = g.astype(x.dtype)
+
+    dgrad_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nN, nF),
+        in_specs=[
+            pl.BlockSpec((TN, H), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TF), lambda i, j, s: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, TF), lambda i, j, s: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, H), lambda i, j, s: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TN, H), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TF), lambda i, j, s: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, H), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TN, H), jnp.float32),
+            pltpu.VMEM((TN, H), x.dtype),
+        ],
+    )
+    dx, dpre, dz = pl.pallas_call(
+        functools.partial(_dgrad_kernel, rate=rate, nF=nF),
+        grid_spec=dgrad_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, H), x.dtype),
+            jax.ShapeDtypeStruct((Np, F), x.dtype),
+            jax.ShapeDtypeStruct((Np, H), x.dtype),
+        ),
+        interpret=interpret,
+    )(seed, g, pre, w1c, w2c)
+
+    wgrad_spec = pl.GridSpec(
+        grid=(nF, nN),
+        in_specs=[
+            pl.BlockSpec((TN, H), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TF), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TF), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, H), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((H, TF), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TF, H), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ),
+    )
+    dw1, dw2, db1 = pl.pallas_call(
+        _wgrad_kernel,
+        grid_spec=wgrad_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((H, F), jnp.float32),
+            jax.ShapeDtypeStruct((F, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, F), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, pre, dpre, dz)
+    db2 = jnp.sum(dz[:N].astype(jnp.float32), axis=0)
+    return dx[:N], dw1, db1.reshape(F), dw2, db2
+
+
+# ------------------------------------------------------------------ #
+# custom VJP
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_ffn(x, w1, b1, w2, b2, seed, rate: float = 0.0,
+              interpret: bool = False):
+    """``dropout(gelu(x @ w1 + b1) @ w2 + b2)`` as fused Pallas kernels.
+
+    x: (N, H); w1: (H, F); b1: (F,); w2: (F, H); b2: (H,); seed: (1,)
+    int32 (ignored when rate == 0). ``rate``/``interpret`` are static.
+    ``rate > 0`` requires a real TPU (the in-kernel PRNG has no
+    interpret-mode lowering). Weight/bias gradients come back in fp32;
+    dx in x.dtype. NOT differentiable in ``seed`` (float0 cotangent).
+    """
+    y, _pre, _Np = _fwd_impl(x, w1, b1, w2, b2, seed, rate, interpret)
+    return y
+
+
+def _fused_ffn_fwd(x, w1, b1, w2, b2, seed, rate, interpret):
+    y, pre, Np = _fwd_impl(x, w1, b1, w2, b2, seed, rate, interpret)
+    return y, (x, w1, w2, pre, seed, Np)
+
+
+def _fused_ffn_bwd(rate, interpret, res, g):
+    x, w1, w2, pre, seed, Np = res
+    dx, dw1, db1, dw2, db2 = _bwd_impl(
+        x, w1, w2, pre, seed, g, rate, interpret, Np
+    )
+    import numpy as np
+
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return (
+        dx,
+        dw1.astype(w1.dtype),
+        db1.astype(w1.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(w2.dtype),
+        dseed,
+    )
+
+
+fused_ffn.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)

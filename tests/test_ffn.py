@@ -1,0 +1,125 @@
+"""Fused Pallas FFN vs the einsum reference path (interpret mode).
+
+The dropout path (in-kernel PRNG) has no CPU lowering; it is validated
+on the real chip by tools/validate_tpu.py. Here: forward/VJP parity of
+the deterministic path (fp32 exact-ish, bf16 to storage tolerance),
+padding correctness, checkpoint-tree parity with the einsum layout, and
+encoder-level equivalence.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpr_scale_tpu.models.transformer import TransformerConfig, TransformerEncoder
+from dpr_scale_tpu.ops.ffn import fused_ffn
+
+
+def _mats(N, H, F, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(N, H)) * 0.5, dtype),
+        jnp.asarray(rng.normal(size=(H, F)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(F,)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(F, H)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(H,)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(N, H)), jnp.float32),
+    )
+
+
+def _ref(x, w1, b1, w2, b2):
+    h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32) + b1
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    return jnp.dot(h, w2.astype(x.dtype), preferred_element_type=jnp.float32) + b2
+
+
+@pytest.mark.parametrize("N", [200, 700])  # 700 > row tile: exercises padding
+def test_fused_ffn_matches_reference_vjp_fp32(N):
+    H, F = 128, 256
+    x, w1, b1, w2, b2, g = _mats(N, H, F, jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def fused(x, w1, b1, w2, b2):
+        return fused_ffn(x, w1, b1, w2, b2, seed, 0.0, True)
+
+    o0, vjp0 = jax.vjp(_ref, x, w1, b1, w2, b2)
+    o1, vjp1 = jax.vjp(fused, x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=2e-5)
+    for name, a, b in zip(["dx", "dw1", "db1", "dw2", "db2"], vjp0(g), vjp1(g)):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-5 * scale, err_msg=name,
+        )
+
+
+def test_fused_ffn_bf16_close():
+    """bf16 activations: fwd + weight grads agree to bf16-residual
+    tolerance (pre is stored bf16, matching what the einsum path's
+    Dense(dtype=bf16) computes)."""
+    N, H, F = 300, 128, 256
+    x, w1, b1, w2, b2, g = _mats(N, H, F, jnp.bfloat16, seed=1)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def fused(x, w1, b1, w2, b2):
+        return fused_ffn(x, w1, b1, w2, b2, seed, 0.0, True)
+
+    o0, vjp0 = jax.vjp(_ref, x, w1, b1, w2, b2)
+    o1, vjp1 = jax.vjp(fused, x, w1, b1, w2, b2)
+    np.testing.assert_allclose(
+        np.asarray(o0, np.float32), np.asarray(o1, np.float32),
+        atol=0.02, rtol=0.02,
+    )
+    for name, a, b in zip(
+        ["dx", "dw1", "db1", "dw2", "db2"],
+        vjp0(g.astype(o0.dtype)),
+        vjp1(g.astype(o1.dtype)),
+    ):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = max(1e-3, float(np.abs(a).max()))
+        assert np.abs(a - b).max() / denom < 0.02, name
+
+
+def test_encoder_fused_ffn_param_tree_and_equivalence():
+    """fused_ffn=True creates the SAME param tree as the einsum path
+    (checkpoint interop) and the same forward/gradients (fp32)."""
+    cfg0 = dataclasses.replace(
+        TransformerConfig.tiny(),
+        num_heads=2, hidden_size=32, intermediate_size=16, dtype=jnp.float32,
+    )
+    cfg1 = dataclasses.replace(cfg0, fused_ffn=True)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 32, size=(4, 24)).astype(np.int32)
+    ids[2, 17:] = 0  # padded tail
+    mask = (ids != 0).astype(np.int32)
+    m0, m1 = TransformerEncoder(cfg0), TransformerEncoder(cfg1)
+    params = m0.init(jax.random.PRNGKey(0), jnp.asarray(ids))["params"]
+    params1 = m1.init(jax.random.PRNGKey(0), jnp.asarray(ids))["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params1
+    )
+
+    o0 = m0.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    o1 = m1.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+
+    def loss(m):
+        def f(p):
+            o = m.apply({"params": p}, jnp.asarray(ids), jnp.asarray(mask))
+            return jnp.sum(o**2)
+
+        return f
+
+    g0 = jax.grad(loss(m0))(params)
+    g1 = jax.grad(loss(m1))(params)
+    for (k0, a), (k1, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g0), key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g1), key=lambda kv: str(kv[0])),
+    ):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5 * scale, err_msg=str(k0)
+        )
