@@ -62,7 +62,12 @@ def main(argv=None):
             from dpr_scale_tpu.parallel import get_mesh
 
             mesh = get_mesh()
-        index = DeviceExpertIndex.from_host_index(index, mesh=mesh)
+        # bf16 postings halve HBM (default); float32 reproduces the host
+        # search bit-for-bit (debug / tight-margin corpora)
+        didtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            cfg.task.get("device_index_dtype", "bfloat16")
+        ]
+        index = DeviceExpertIndex.from_host_index(index, dtype=didtype, mesh=mesh)
         print(
             "Using device-resident expert index"
             + (f" (expert-parallel over {mesh.devices.size} devices)" if mesh else "")
