@@ -31,6 +31,10 @@ def main():
         "--fused-attention", action="store_true",
         help="Pallas fused attention with in-kernel dropout",
     )
+    parser.add_argument(
+        "--fused-ffn", action="store_true",
+        help="Pallas fused FFN (matmul+GELU+matmul+dropout)",
+    )
     args = parser.parse_args()
 
     try:
@@ -52,6 +56,8 @@ def main():
         over["remat"] = True
     if args.fused_attention:
         over["fused_attention"] = True
+    if args.fused_ffn:
+        over["fused_ffn"] = True
     if args.dropout is not None:
         over["hidden_dropout"] = args.dropout
         over["attention_dropout"] = args.dropout
@@ -98,7 +104,8 @@ def main():
             {
                 "metric": f"train_qps_{args.arch}_b{B}_c{C}_q{args.qlen}_c{args.clen}"
                 + ("_remat" if args.remat else "")
-                + ("_fa" if args.fused_attention else ""),
+                + ("_fa" if args.fused_attention else "")
+                + ("_ffn" if args.fused_ffn else ""),
                 "value": round(args.steps * B / dt, 1),
                 "unit": "queries/s",
                 "steps_per_s": round(args.steps / dt, 2),
