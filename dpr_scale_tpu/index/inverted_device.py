@@ -108,7 +108,10 @@ class DeviceExpertIndex:
             n_exp = -(-len(entries) // self.ndev) * self.ndev
             vecs = np.zeros((n_exp, bsize, entries[0][1].vecs.shape[1]), np.float32)
             run_id = np.zeros((n_exp, bsize), np.int32)
-            run_doc = np.full((n_exp, bsize), -1, np.int64)
+            starts_all = np.zeros((n_exp, bsize), bool)
+            docs_all = np.full((n_exp, bsize), -1, np.int64)
+            nruns = np.zeros(n_exp, np.int32)
+            max_run_len = 1
             for slot, (e, posts) in enumerate(entries):
                 order = posts.sort_order
                 v = posts.dense_vecs()[order]
@@ -124,12 +127,31 @@ class DeviceExpertIndex:
                 starts = np.concatenate([[True], docs[1:n] != docs[: n - 1]])
                 rid = np.cumsum(starts) - 1
                 run_id[slot, :n] = rid
-                run_doc[slot, rid] = docs[:n]  # run id -> doc (first hit wins)
+                starts_all[slot, :n] = starts
+                docs_all[slot, :n] = docs[:n]
+                nruns[slot] = rid[-1] + 1 if n else 0
+                if n:
+                    lens = np.diff(np.append(np.flatnonzero(starts), n))
+                    max_run_len = max(max_run_len, int(lens.max()))
                 # pad positions: point at the last run (their scores are 0
-                # and the zero floor keeps them harmless), doc stays -1 for
-                # pure-pad runs
+                # and the zero floor keeps them harmless)
                 if n < bsize:
                     run_id[slot, n:] = rid[-1] if n else 0
+            # RUN-COMPACT emission layout: the combine scatter consumes one
+            # triple per RUN (unique doc per expert), not per posting —
+            # R_pad ~= padded_postings * fill / avg_run_len, measured ~2x
+            # fewer scatter updates on the MS MARCO-scale synthetic layout
+            R_pad = 8
+            while R_pad < int(nruns.max(initial=1)):
+                R_pad *= 2
+            R_pad = min(R_pad, bsize)
+            run_doc = np.full((n_exp, R_pad), -1, np.int64)
+            start_pos = np.zeros((n_exp, R_pad), np.int32)
+            for slot in range(len(entries)):
+                sp = np.flatnonzero(starts_all[slot])
+                nr = min(len(sp), R_pad)
+                start_pos[slot, :nr] = sp[:nr]
+                run_doc[slot, :nr] = docs_all[slot, sp[:nr]]
             shard = self._expert_sharding()
             self.buckets[bsize] = {
                 "vecs": jax.device_put(jnp.asarray(vecs, dtype), shard),
@@ -137,6 +159,8 @@ class DeviceExpertIndex:
                 "run_doc": jax.device_put(
                     jnp.asarray(run_doc.astype(np.int32)), shard
                 ),
+                "start_pos": jax.device_put(jnp.asarray(start_pos), shard),
+                "max_run_len": max_run_len,
                 "slot_of": {e: s for s, (e, _p) in enumerate(entries)},
             }
         if n_truncated:
@@ -145,6 +169,16 @@ class DeviceExpertIndex:
                 "postings and were truncated to their highest-weight postings — "
                 "device search diverges from host search for the dropped docs"
             )
+        # dense expert -> (bucket, slot) routing tables: the host-side
+        # routing loop becomes pure vectorized numpy (was ~13 ms of dict
+        # lookups per B=64 batch)
+        max_e = max(host_index.experts.keys(), default=-1)
+        self._route_bsize = np.zeros(max_e + 2, np.int64)
+        self._route_slot = np.zeros(max_e + 2, np.int64)
+        for bsize, bucket in self.buckets.items():
+            for e, s in bucket["slot_of"].items():
+                self._route_bsize[e] = bsize
+                self._route_slot[e] = s
         if host_index.cls is not None:
             if self.ndev > 1:
                 # pad CLS rows to the accumulator's column grid and shard
@@ -169,34 +203,54 @@ class DeviceExpertIndex:
 
     # ------------------------------------------------------------- #
 
-    def _score_bucket(self, vecs, run_id, run_doc, slots, qvecs, qrows, bsize):
+    def _score_bucket(
+        self, vecs, run_id, run_doc, start_pos, slots, qvecs, qrows, mrl
+    ):
         """Traceable per-bucket scoring WITHOUT the accumulator scatter.
 
-        Returns flat (rows, docs, vals) update triples; the scatter happens
-        once for all buckets. Measured on v5e: an XLA scatter-add pays a
-        whole-operand rewrite (~127 ms for a (64, 8.8M) fp32 accumulator)
-        regardless of update count, so one search must contain exactly ONE
-        scatter, not one per bucket.
+        Returns flat (rows, docs, vals) update triples — one per RUN
+        (unique doc within the expert), gathered at run-start positions.
+        The scatter happens once for all buckets. Measured on v5e: an XLA
+        scatter-add pays a whole-operand rewrite (~127 ms for a
+        (64, 8.8M) fp32 accumulator) regardless of update count, so one
+        search must contain exactly ONE scatter, and its per-update term
+        scales with the RUN count, not the padded posting count.
+
+        The MaxSim inner max uses a doubling suffix-max over the
+        doc-sorted posting rows (``ceil(log2(max_run_len))`` shifted-max
+        passes — pure VPU streaming) instead of ``segment_max``, whose
+        XLA lowering is itself a scatter.
         """
         # gather posting blocks for the touched experts
         pv = vecs[slots]  # (E, L, D)
         rid = run_id[slots]  # (E, L)
-        rdoc = run_doc[slots]  # (E, L)
+        rdoc = run_doc[slots]  # (E, R)
+        spos = start_pos[slots]  # (E, R)
         scores = jnp.einsum(
             "ed,eld->el", qvecs.astype(pv.dtype), pv,
             preferred_element_type=jnp.float32,
         )  # (E, L)
-        # MaxSim inner max per doc run; zero floor matches the training
-        # objective's gated-MaxSim (non-matching pairs contribute 0)
-        seg = jax.vmap(
-            lambda s, r: jax.ops.segment_max(
-                s, r, num_segments=bsize, indices_are_sorted=True
+        E, L = scores.shape
+        # doubling suffix max within runs: after ceil(log2(mrl)) rounds,
+        # position i holds max(scores[i:end_of_run(i)]) — run STARTS hold
+        # the full run max
+        d = 1
+        while d < mrl:
+            sh_s = jnp.concatenate(
+                [scores[:, d:], jnp.full((E, d), -jnp.inf, scores.dtype)], axis=1
             )
-        )(scores, rid)  # (E, L) run-indexed maxima
+            sh_r = jnp.concatenate(
+                [rid[:, d:], jnp.full((E, d), -1, rid.dtype)], axis=1
+            )
+            scores = jnp.where(sh_r == rid, jnp.maximum(scores, sh_s), scores)
+            d *= 2
+        seg = jnp.take_along_axis(scores, spos, axis=1)  # (E, R) run maxima
+        # zero floor matches the training objective's gated-MaxSim
+        # (non-matching pairs contribute 0)
         seg = jnp.maximum(seg, 0.0)
         # -1 docs (pure-pad runs) route to the trash column num_docs
         docs = jnp.where(rdoc >= 0, rdoc, self.num_docs)
-        rows = jnp.repeat(qrows, bsize)
+        rows = jnp.repeat(qrows, rdoc.shape[1])
         return rows, docs.reshape(-1), seg.reshape(-1)
 
     def _combine_updates(self, rows, docs, vals, batch, k, has_cls, q_cls, cls_t):
@@ -259,8 +313,8 @@ class DeviceExpertIndex:
         @jax.jit
         def run(bucket_args, q_cls=None, cls_t=None):
             parts = [
-                self._score_bucket(*args, bsize)
-                for (bsize, _n), args in zip(spec, bucket_args)
+                self._score_bucket(*args, mrl)
+                for (_bsize, _n, mrl), args in zip(spec, bucket_args)
             ]
             if parts:
                 rows = jnp.concatenate([p[0] for p in parts])
@@ -305,11 +359,11 @@ class DeviceExpertIndex:
 
         def local(bucket_args, cls_l, q_cls):
             parts = []
-            for (bsize, _n_pad), args in zip(spec, bucket_args):
-                vecs_l, rid_l, rdoc_l, slots_l, qvecs_l, qrows_l = args
+            for (_bsize, _n_pad, mrl), args in zip(spec, bucket_args):
+                vecs_l, rid_l, rdoc_l, spos_l, slots_l, qvecs_l, qrows_l = args
                 r, d, v = self._score_bucket(
-                    vecs_l, rid_l, rdoc_l,
-                    slots_l[0], qvecs_l[0], qrows_l[0], bsize,
+                    vecs_l, rid_l, rdoc_l, spos_l,
+                    slots_l[0], qvecs_l[0], qrows_l[0], mrl,
                 )
                 parts.append((r, d, v))
             if parts:
@@ -367,7 +421,7 @@ class DeviceExpertIndex:
             return s, doc
 
         bucket_specs = tuple(
-            (P("data"), P("data"), P("data"), P("data"), P("data"), P("data"))
+            (P("data"),) * 7
             for _ in spec
         )
 
@@ -401,66 +455,62 @@ class DeviceExpertIndex:
         B = expert_repr.shape[0]
         citadel = expert_ids.ndim == 3
 
-        # host-side routing: group query entries by bucket
+        # host-side routing, fully vectorized: dense expert -> (bucket,
+        # slot) table lookups over the flattened (B, T, K) routing grid
         tic = time.perf_counter()
-        per_bucket: Dict[int, List[Tuple[int, int, np.ndarray]]] = collections.defaultdict(list)
-        for b in range(B):
-            for t in np.flatnonzero(attn[b] > 0):
-                vec = expert_repr[b, t]
-                pairs = (
-                    [
-                        (int(expert_ids[b, t, kk]), float(weights[b, t, kk]))
-                        for kk in range(expert_ids.shape[2])
-                    ]
-                    if citadel
-                    else [
-                        (
-                            int(expert_ids[b, t]),
-                            1.0 if weights is None else float(weights[b, t]),
-                        )
-                    ]
-                )
-                for e, w in pairs:
-                    if e < 0 or w <= 0:
-                        continue
-                    for bsize, bucket in self.buckets.items():
-                        slot = bucket["slot_of"].get(e)
-                        if slot is not None:
-                            per_bucket[bsize].append((b, slot, w * vec))
-                            break
+        eid = expert_ids if citadel else expert_ids[..., None]
+        if weights is None:
+            w = np.ones(eid.shape, np.float32)
+        else:
+            w = weights if citadel else weights[..., None]
+        valid = (attn[..., None] > 0) & (eid >= 0) & (w > 0)
+        eid_c = np.clip(eid, 0, len(self._route_bsize) - 1)
+        bs = np.where(valid & (eid == eid_c), self._route_bsize[eid_c], 0)
+        b_idx, t_idx, k_idx = np.nonzero(bs)
+        bsizes_sel = bs[b_idx, t_idx, k_idx]
+        slots_sel = self._route_slot[eid[b_idx, t_idx, k_idx]]
+        vecs_sel = (
+            w[b_idx, t_idx, k_idx, None] * expert_repr[b_idx, t_idx]
+        ).astype(np.float32)
+        per_bucket: Dict[int, tuple] = {}
+        for bsize in np.unique(bsizes_sel):
+            m = bsizes_sel == bsize
+            per_bucket[int(bsize)] = (b_idx[m], slots_sel[m], vecs_sel[m])
 
         self.latency["routing_time"] += time.perf_counter() - tic
         tic = time.perf_counter()
         has_cls = self.cls is not None and "cls_repr" in query_out
         k = min(topk, self.num_docs)
         D = expert_repr.shape[-1]
-        spec = []  # (bucket_size, padded entry count) per touched bucket
+        spec = []  # (bucket_size, padded entries, max_run_len) per bucket
         bucket_args = []
         if self.ndev > 1:
             # expert-parallel: entries co-locate with their expert's device
-            for bsize, entries in sorted(per_bucket.items()):
+            for bsize, (rows_b, slots_b, vecs_b) in sorted(per_bucket.items()):
                 bucket = self.buckets[bsize]
                 epd = bucket["vecs"].shape[0] // self.ndev
-                per_dev: List[List[Tuple[int, int, np.ndarray]]] = [
-                    [] for _ in range(self.ndev)
-                ]
-                for b, slot, vec in entries:
-                    per_dev[slot // epd].append((b, slot % epd, vec))
-                n_max = max(1, max(len(p) for p in per_dev))
+                dev = slots_b // epd
+                srt = np.argsort(dev, kind="stable")
+                dev_s = dev[srt]
+                starts = np.searchsorted(dev_s, np.arange(self.ndev))
+                posin = np.arange(len(dev_s)) - starts[dev_s]
+                counts = np.bincount(dev, minlength=self.ndev)
+                n_max = max(1, int(counts.max(initial=1)))
                 n_pad = max(8, 1 << (n_max - 1).bit_length())
                 qrows = np.zeros((self.ndev, n_pad), np.int32)
                 slots = np.zeros((self.ndev, n_pad), np.int32)
                 qvecs = np.zeros((self.ndev, n_pad, D), np.float32)
-                for dv, plist in enumerate(per_dev):
-                    for j, (b, lslot, vec) in enumerate(plist):
-                        qrows[dv, j], slots[dv, j], qvecs[dv, j] = b, lslot, vec
-                spec.append((bsize, n_pad))
+                qrows[dev_s, posin] = rows_b[srt]
+                slots[dev_s, posin] = (slots_b % epd)[srt]
+                qvecs[dev_s, posin] = vecs_b[srt]
+                spec.append((bsize, n_pad, bucket["max_run_len"]))
                 shard = self._expert_sharding()
                 bucket_args.append(
                     (
                         bucket["vecs"],
                         bucket["run_id"],
                         bucket["run_doc"],
+                        bucket["start_pos"],
                         jax.device_put(jnp.asarray(slots), shard),
                         jax.device_put(jnp.asarray(qvecs), shard),
                         jax.device_put(jnp.asarray(qrows), shard),
@@ -480,22 +530,24 @@ class DeviceExpertIndex:
                 )
             s, idx = run(tuple(bucket_args), cls_arg, q_cls)
         else:
-            for bsize, entries in sorted(per_bucket.items()):
+            for bsize, (rows_b, slots_b, vecs_b) in sorted(per_bucket.items()):
                 bucket = self.buckets[bsize]
-                n = len(entries)
+                n = len(rows_b)
                 n_pad = max(8, 1 << (n - 1).bit_length())
                 qrows = np.zeros((n_pad,), np.int32)
                 slots = np.zeros((n_pad,), np.int32)
                 qvecs = np.zeros((n_pad, D), np.float32)
-                for j, (b, slot, vec) in enumerate(entries):
-                    qrows[j], slots[j], qvecs[j] = b, slot, vec
+                qrows[:n] = rows_b
+                slots[:n] = slots_b
+                qvecs[:n] = vecs_b
                 # pad entries: slot 0 with zero qvec -> scores 0 -> zero floor
-                spec.append((bsize, n_pad))
+                spec.append((bsize, n_pad, bucket["max_run_len"]))
                 bucket_args.append(
                     (
                         bucket["vecs"],
                         bucket["run_id"],
                         bucket["run_doc"],
+                        bucket["start_pos"],
                         jnp.asarray(slots),
                         jnp.asarray(qvecs),
                         jnp.asarray(qrows),

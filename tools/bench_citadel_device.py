@@ -24,7 +24,9 @@ import numpy as np
 
 
 def synth_bucket(key, n_exp, bsize, D, num_docs, avg_fill=0.7):
-    """Random postings for n_exp experts of (padded) length bsize."""
+    """Random postings for n_exp experts of (padded) length bsize, in the
+    run-compact DeviceExpertIndex layout (run_doc/start_pos of width
+    R_pad, max_run_len)."""
     kv, kd = jax.random.split(key)
     vecs = jax.random.normal(kv, (n_exp, bsize, D), jnp.bfloat16) * 0.3
     # doc runs: sorted random doc ids, ~1.3 postings per run
@@ -36,19 +38,33 @@ def synth_bucket(key, n_exp, bsize, D, num_docs, avg_fill=0.7):
     ).astype(np.int32)
     fill = int(bsize * avg_fill)
     docs[:, fill:] = -1
-    starts = np.concatenate(
-        [np.ones((n_exp, 1), bool), docs[:, 1:fill] != docs[:, : fill - 1]], axis=1
-    )
+    starts = np.zeros((n_exp, bsize), bool)
+    starts[:, 0] = True
+    starts[:, 1:fill] = docs[:, 1:fill] != docs[:, : fill - 1]
     run_id = np.zeros((n_exp, bsize), np.int32)
-    run_id[:, :fill] = np.cumsum(starts, axis=1) - 1
+    run_id[:, :fill] = np.cumsum(starts[:, :fill], axis=1) - 1
     run_id[:, fill:] = run_id[:, fill - 1 : fill]
-    run_doc = np.full((n_exp, bsize), -1, np.int32)
-    rows = np.repeat(np.arange(n_exp), fill)
-    run_doc[rows, run_id[:, :fill].reshape(-1)] = docs[:, :fill].reshape(-1)
+    nruns = run_id[:, fill - 1] + 1
+    R_pad = 8
+    while R_pad < int(nruns.max()):
+        R_pad *= 2
+    R_pad = min(R_pad, bsize)
+    run_doc = np.full((n_exp, R_pad), -1, np.int32)
+    start_pos = np.zeros((n_exp, R_pad), np.int32)
+    max_run_len = 1
+    for slot in range(n_exp):
+        sp = np.flatnonzero(starts[slot])
+        nr = min(len(sp), R_pad)
+        start_pos[slot, :nr] = sp[:nr]
+        run_doc[slot, :nr] = docs[slot, sp[:nr]]
+        lens = np.diff(np.append(sp, fill))
+        max_run_len = max(max_run_len, int(lens.max()))
     return {
         "vecs": vecs,
         "run_id": jax.device_put(jnp.asarray(run_id)),
         "run_doc": jax.device_put(jnp.asarray(run_doc)),
+        "start_pos": jax.device_put(jnp.asarray(start_pos)),
+        "max_run_len": max_run_len,
     }
 
 
@@ -83,6 +99,13 @@ def main():
         expert_id += n_exp
         idx.buckets[bsize] = b
         total += n_exp * bsize
+    # dense routing tables (normally built by from_host_index)
+    idx._route_bsize = np.zeros(expert_id + 1, np.int64)
+    idx._route_slot = np.zeros(expert_id + 1, np.int64)
+    for bsize, b in idx.buckets.items():
+        for e, s in b["slot_of"].items():
+            idx._route_bsize[e] = bsize
+            idx._route_slot[e] = s
     jax.block_until_ready(idx.buckets[512]["vecs"])
     gb = total * D * 2 / 1e9
     print(f"index: {expert_id} experts, {total/1e6:.1f}M padded postings, {gb:.1f} GB bf16, {args.docs/1e6:.1f}M docs")
