@@ -253,6 +253,59 @@ class DeviceExpertIndex:
         rows = jnp.repeat(qrows, rdoc.shape[1])
         return rows, docs.reshape(-1), seg.reshape(-1)
 
+    # num_docs at or above this use the sort-based combine when there is
+    # no dense CLS term. Below it, a row can touch fewer than k docs and
+    # the dense accumulator's implicit all-zeros baseline changes the
+    # returned top-k set; tests lower it to force the sorted path.
+    sorted_combine_min_docs = 65536
+
+    def _combine_updates_sorted(self, rows, docs, vals, batch, k, mdup):
+        """Sort-based combine: cost scales with UPDATES, not B x num_docs.
+
+        Measured on v5e (tools/microbench_citadel_prims.py, B=128): an XLA
+        scatter-add costs ~9 ms per 1M updates into a (128, 8.8M) fp32
+        accumulator plus ~15 ms of operand rewrite, and the tiled top-k
+        another full read of the accumulator — while lax.sort moves 4M
+        key/value pairs in ~10 ms. So: sort updates by (row, doc), reduce
+        equal keys with a doubling suffix-sum (<= log2(mdup) shifted adds
+        — a (row, doc) key repeats at most once per routed query entry),
+        then sort by (row, -total) so each row's top-k is a CONTIGUOUS
+        gather. No (B, num_docs) accumulator ever exists. Exact for the
+        docs with updates; requires every row to touch >= k docs (large
+        corpora — see sorted_combine_min_docs).
+        """
+        nd = self.num_docs
+        key = rows.astype(jnp.int64) * (nd + 2) + docs.astype(jnp.int64)
+        skey, svals, sdocs, srows = jax.lax.sort(
+            (key, vals, docs, rows), num_keys=1
+        )
+        U = skey.shape[0]
+        d = 1
+        while d < mdup:
+            sh_v = jnp.concatenate([svals[d:], jnp.zeros((d,), svals.dtype)])
+            sh_k = jnp.concatenate([skey[d:], jnp.full((d,), -1, skey.dtype)])
+            svals = svals + jnp.where(sh_k == skey, sh_v, 0.0)
+            d *= 2
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+        )
+        tot = jnp.where(is_start & (sdocs < nd), svals, -jnp.inf)
+        r2, negtot, d2 = jax.lax.sort(
+            (srows, -tot, sdocs), num_keys=2
+        )
+        row_starts = jnp.searchsorted(r2, jnp.arange(batch, dtype=r2.dtype))
+        row_ends = jnp.concatenate(
+            [row_starts[1:], jnp.full((1,), U, row_starts.dtype)]
+        )
+        idx = row_starts[:, None] + jnp.arange(k)[None, :]
+        idx_c = jnp.clip(idx, 0, U - 1)
+        cand_s = -negtot[idx_c]
+        cand_d = d2[idx_c]
+        valid = (idx < row_ends[:, None]) & jnp.isfinite(cand_s)
+        s = jnp.where(valid, cand_s, 0.0)
+        doc = jnp.where(valid, cand_d, 0)
+        return s, doc
+
     def _combine_updates(self, rows, docs, vals, batch, k, has_cls, q_cls, cls_t):
         """Traceable: one scatter-add over all updates + tiled exact top-k.
 
@@ -297,16 +350,20 @@ class DeviceExpertIndex:
         return s, doc
 
     def _search_program(self, batch: int, spec: Tuple[Tuple[int, int], ...],
-                        k: int, has_cls: bool):
+                        k: int, has_cls: bool, mdup: int = 1):
         """ONE jitted program for the whole search: every bucket's
-        gather-score-segmax, the single combined scatter, and the tiled
-        top-k. A single dispatch matters over tunneled deployments
-        (~16-32 ms per call) and lets XLA schedule bucket programs
-        back-to-back without host round-trips.
+        gather-score-segmax plus the combine — sort-based when there is
+        no dense CLS term and the corpus is large (cost scales with
+        updates), dense scatter + tiled top-k otherwise. A single
+        dispatch matters over tunneled deployments (~16-32 ms per call)
+        and lets XLA schedule bucket programs back-to-back without host
+        round-trips.
 
-        spec: tuple of (bucket_size, n_entries_padded) in call order.
+        spec: tuple of (bucket_size, n_entries_padded, max_run_len) in
+        call order; mdup bounds duplicate (row, doc) keys (sorted mode).
         """
-        key = ("program", batch, spec, k, has_cls)
+        use_sorted = (not has_cls) and self.num_docs >= self.sorted_combine_min_docs
+        key = ("program", batch, spec, k, has_cls, use_sorted and mdup)
         if key in self._search_fns:
             return self._search_fns[key]
 
@@ -324,6 +381,10 @@ class DeviceExpertIndex:
                 rows = jnp.zeros((8,), jnp.int32)
                 docs = jnp.full((8,), self.num_docs, jnp.int32)
                 vals = jnp.zeros((8,), jnp.float32)
+            if use_sorted:
+                return self._combine_updates_sorted(
+                    rows, docs, vals, batch, k, mdup
+                )
             return self._combine_updates(
                 rows, docs, vals, batch, k, has_cls, q_cls, cls_t
             )
@@ -497,7 +558,11 @@ class DeviceExpertIndex:
                 counts = np.bincount(dev, minlength=self.ndev)
                 n_max = max(1, int(counts.max(initial=1)))
                 n_pad = max(8, 1 << (n_max - 1).bit_length())
-                qrows = np.zeros((self.ndev, n_pad), np.int32)
+                # pad entries use row B (positive-OOB): their zero-value
+                # updates drop at the scatter / sort past all real rows,
+                # so they can neither pollute row 0's doc segments nor
+                # break the sorted combine's duplicate bound
+                qrows = np.full((self.ndev, n_pad), B, np.int32)
                 slots = np.zeros((self.ndev, n_pad), np.int32)
                 qvecs = np.zeros((self.ndev, n_pad, D), np.float32)
                 qrows[dev_s, posin] = rows_b[srt]
@@ -534,7 +599,9 @@ class DeviceExpertIndex:
                 bucket = self.buckets[bsize]
                 n = len(rows_b)
                 n_pad = max(8, 1 << (n - 1).bit_length())
-                qrows = np.zeros((n_pad,), np.int32)
+                # pad rows = B (positive-OOB): dropped by the scatter,
+                # sorted past all real rows by the sorted combine
+                qrows = np.full((n_pad,), B, np.int32)
                 slots = np.zeros((n_pad,), np.int32)
                 qvecs = np.zeros((n_pad, D), np.float32)
                 qrows[:n] = rows_b
@@ -553,7 +620,12 @@ class DeviceExpertIndex:
                         jnp.asarray(qrows),
                     )
                 )
-            run = self._search_program(B, tuple(spec), k, has_cls)
+            # duplicate-(row, doc) bound for the sorted combine: one
+            # update per routed entry per doc, so <= entries per row
+            mdup = 8
+            while mdup < max(1, int(np.bincount(b_idx, minlength=1).max())):
+                mdup *= 2
+            run = self._search_program(B, tuple(spec), k, has_cls, mdup)
             if has_cls:
                 q_cls = jnp.asarray(np.asarray(query_out["cls_repr"], np.float32))
                 s, idx = run(tuple(bucket_args), q_cls, self.cls.T)

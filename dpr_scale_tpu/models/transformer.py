@@ -94,13 +94,25 @@ class SelfAttention(nn.Module):
         cfg = self.cfg
         h, nh = cfg.hidden_size, cfg.num_heads
         hd = h // nh
-        dense = lambda name: nn.DenseGeneral(
-            (nh, hd), dtype=cfg.dtype, name=name,
-            kernel_init=nn.initializers.normal(0.02),
+        # q/k/v as ONE (H, 3H) matmul: identical math per output column
+        # (so bit-identical results and gradients vs three DenseGenerals)
+        # but 1 MXU dispatch instead of 3 and one read of x instead of
+        # three. Params keep the DenseGeneral layout (query/key/value
+        # {kernel (H, nh, hd), bias (nh, hd)}) for checkpoint interop.
+        wq, bq = _DenseParams((h, nh, hd), name="query")()
+        wk, bk = _DenseParams((h, nh, hd), name="key")()
+        wv, bv = _DenseParams((h, nh, hd), name="value")()
+        w_qkv = jnp.concatenate(
+            [w.reshape(h, h) for w in (wq, wk, wv)], axis=1
+        ).astype(cfg.dtype)
+        b_qkv = jnp.concatenate(
+            [b.reshape(h) for b in (bq, bk, bv)]
+        ).astype(cfg.dtype)
+        B, L, _ = x.shape
+        qkv = jnp.dot(x.astype(cfg.dtype), w_qkv) + b_qkv
+        q, k, v = (
+            t.reshape(B, L, nh, hd) for t in jnp.split(qkv, 3, axis=-1)
         )
-        q = dense("query")(x)
-        k = dense("key")(x)
-        v = dense("value")(x)
         rate = 0.0 if deterministic else cfg.attention_dropout
         on_cpu = jax.default_backend() == "cpu"
         if cfg.fused_attention and not (rate > 0.0 and on_cpu):
@@ -140,8 +152,11 @@ class SelfAttention(nn.Module):
 
 
 class _DenseParams(nn.Module):
-    """Owns an nn.Dense-layout (kernel, bias) param pair without the
-    matmul — lets the fused-FFN path share checkpoints with nn.Dense."""
+    """Owns an nn.Dense/DenseGeneral-layout (kernel, bias) param pair
+    without the matmul — lets fused paths (fused_ffn, merged q/k/v)
+    share checkpoints with the module-per-matmul layout. kernel shape is
+    ``shape``; bias shape is ``shape[1:]`` (Dense: (out,); DenseGeneral
+    with features (nh, hd): (nh, hd))."""
 
     shape: tuple
 
@@ -150,7 +165,7 @@ class _DenseParams(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.normal(0.02), self.shape, jnp.float32
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.shape[1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, self.shape[1:], jnp.float32)
         return kernel, bias
 
 

@@ -14,15 +14,35 @@ API:
 from __future__ import annotations
 
 import json
+import queue as _queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 
 import numpy as np
 
 
+class _Pending:
+    __slots__ = ("texts", "k_searched", "event", "scores", "rows", "error")
+
+    def __init__(self, texts, k_searched):
+        self.texts = texts
+        self.k_searched = k_searched
+        self.event = threading.Event()
+        self.scores = self.rows = self.error = None
+
+
 class Retriever:
-    """Encode queries and search the corpus; thread-safe."""
+    """Encode queries and search the corpus; thread-safe.
+
+    Concurrent callers COALESCE: requests enqueue to a single worker that
+    merges everything pending (bounded by ``coalesce_wait_ms`` after the
+    first request) into one padded device batch — under load the TPU sees
+    large batches instead of a serialized stream of small ones, which is
+    where its throughput lives. Passage materialization (host dict/mmap
+    lookups) happens on the REQUEST thread, off the device critical path.
+    """
 
     def __init__(
         self,
@@ -33,6 +53,7 @@ class Retriever:
         default_k: int = 10,
         max_batch: int = 64,
         max_k: int = 1000,
+        coalesce_wait_ms: float = 2.0,
     ):
         self.encoder = encoder
         self.tokenizer = tokenizer
@@ -41,38 +62,94 @@ class Retriever:
         self.default_k = default_k
         self.max_batch = max_batch
         self.max_k = max_k
-        self._lock = threading.Lock()
+        self.coalesce_wait_ms = coalesce_wait_ms
+        self._lock = threading.Lock()  # device pipeline (worker only)
+        self._queue: _queue.Queue = _queue.Queue()
+        self._worker_started = False
+        self._worker_lock = threading.Lock()
 
     def _pad_batch(self, n: int) -> int:
         return min(self.max_batch, max(8, 1 << (n - 1).bit_length()))
 
-    def search(self, questions: List[str], k: Optional[int] = None) -> List[List[dict]]:
-        from dpr_scale_tpu.retrieve.retrieval import rows_to_ctxs
+    # ----------------------------------------------------------------- #
 
-        k = k or self.default_k
-        k = min(k, self.max_k, self.index.num_rows)
-        # round the searched k up to a power of two so arbitrary client k
-        # values reuse a handful of jitted top-k programs (a novel k would
-        # otherwise compile while holding the serving lock)
-        k_searched = min(1 << max(0, k - 1).bit_length(), self.max_k, self.index.num_rows)
-        results: List[List[dict]] = []
-        with self._lock:  # jitted calls + index state are shared
-            for lo in range(0, len(questions), self.max_batch):
-                chunk = questions[lo : lo + self.max_batch]
+    def _run_pipeline(self, texts: List[str], k_searched: int):
+        """Tokenize -> encode -> search, chunked by max_batch. Worker-only."""
+        all_s, all_r = [], []
+        with self._lock:
+            for lo in range(0, len(texts), self.max_batch):
+                chunk = texts[lo : lo + self.max_batch]
                 pad_b = self._pad_batch(len(chunk))
-                texts = chunk + [""] * (pad_b - len(chunk))
-                ids, mask = self.tokenizer(texts)
+                padded = chunk + [""] * (pad_b - len(chunk))
+                ids, mask = self.tokenizer(padded)
                 emb = np.asarray(
                     self.encoder._encode(self.encoder.params, ids, mask),
                     dtype=np.float32,
                 )
                 scores, rows = self.index.search(emb, k_searched)
-                results.extend(
-                    rows_to_ctxs(
-                        self.passages, scores[: len(chunk), :k], rows[: len(chunk), :k]
-                    )
-                )
-        return results
+                all_s.append(scores[: len(chunk)])
+                all_r.append(rows[: len(chunk)])
+        return np.concatenate(all_s), np.concatenate(all_r)
+
+    def _worker(self):
+        while True:
+            first = self._queue.get()
+            batch = [first]
+            n = len(first.texts)
+            deadline = time.perf_counter() + self.coalesce_wait_ms / 1e3
+            while n < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=left)
+                except _queue.Empty:
+                    break
+                batch.append(nxt)
+                n += len(nxt.texts)
+            texts = [t for r in batch for t in r.texts]
+            k_s = max(r.k_searched for r in batch)
+            try:
+                scores, rows = self._run_pipeline(texts, k_s)
+                off = 0
+                for r in batch:
+                    m = len(r.texts)
+                    r.scores, r.rows = scores[off : off + m], rows[off : off + m]
+                    off += m
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for r in batch:
+                    r.error = e
+            for r in batch:
+                r.event.set()
+
+    def _ensure_worker(self):
+        if not self._worker_started:
+            with self._worker_lock:
+                if not self._worker_started:
+                    threading.Thread(target=self._worker, daemon=True).start()
+                    self._worker_started = True
+
+    def search(self, questions: List[str], k: Optional[int] = None) -> List[List[dict]]:
+        from dpr_scale_tpu.retrieve.retrieval import rows_to_ctxs
+
+        if not questions:
+            return []
+        k = k or self.default_k
+        k = min(k, self.max_k, self.index.num_rows)
+        # round the searched k up to a power of two so arbitrary client k
+        # values reuse a handful of jitted top-k programs (a novel k would
+        # otherwise compile while holding the serving lock)
+        k_searched = min(
+            1 << max(0, k - 1).bit_length(), self.max_k, self.index.num_rows
+        )
+        self._ensure_worker()
+        req = _Pending(list(questions), k_searched)
+        self._queue.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        # passage fetch on the caller's thread, off the device pipeline
+        return rows_to_ctxs(self.passages, req.scores[:, :k], req.rows[:, :k])
 
 
 MAX_QUESTIONS_PER_REQUEST = 1024

@@ -205,12 +205,20 @@ def test_device_index_expert_parallel_large_corpus():
         host, dtype=jnp.float32, mesh=get_mesh(8)
     )
     s8, r8 = dev8.search(q_out, topk=10)
+    # single-device with the SORT-BASED combine (forced on by lowering
+    # the corpus threshold): must also match the host search exactly
+    dev_sorted = DeviceExpertIndex.from_host_index(host, dtype=jnp.float32)
+    dev_sorted.sorted_combine_min_docs = 0
+    ss, rs = dev_sorted.search(q_out, topk=10)
     for b in range(B):
         dense_h = np.zeros(num_docs + 1, np.float32)
         dense_h[hr[b]] = hs[b]
         dense_d = np.zeros(num_docs + 1, np.float32)
         dense_d[r8[b]] = s8[b]
+        dense_s = np.zeros(num_docs + 1, np.float32)
+        dense_s[rs[b]] = ss[b]
         np.testing.assert_allclose(dense_d, dense_h, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(dense_s, dense_h, rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("add_cls", [False, True])

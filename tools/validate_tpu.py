@@ -1,0 +1,305 @@
+"""One-command on-TPU validation gate for the TPU-only code paths.
+
+    python tools/validate_tpu.py [--out docs/VALIDATE_rNN.json] [--rows 1048576]
+
+The CPU test suite cannot cover paths with no interpret-mode lowering or
+whose behavior depends on real-MXU numerics; between rounds these could
+regress silently. This gate runs them all on the attached chip and emits
+ONE JSON verdict:
+
+  * fused-attention dropout fwd+VJP vs a same-mask pure-JAX reference
+    (wraps tools/validate_fused_attention.py — in-kernel PRNG path);
+  * fused-FFN dropout: deterministic parity vs the einsum block, drop
+    fraction, inverted-scaling slope (E[dropout out] == det out), and
+    fwd/bwd PRNG-stream consistency via a same-mask reference VJP;
+  * MIPS exactness: method="fused" (and groupmax) top-100 indices vs
+    method="exact_sort" over a device-synthesized >=1M x 768 corpus;
+  * int8 / approx serving recall@100 vs exact on the same corpus;
+  * one tiny train step on the TPU vs the same step on CPU (subprocess):
+    loss and grad-norm cross-check.
+
+Checks append to a dict; any exception marks the check failed and the
+gate exits nonzero. Per-round artifacts live in docs/ (verify skill).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import pathlib
+import subprocess
+import sys
+import time
+import traceback
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RESULTS: dict = {}
+
+
+def check(name):
+    def deco(fn):
+        def wrapped(*a, **kw):
+            t0 = time.perf_counter()
+            try:
+                detail = fn(*a, **kw) or {}
+                RESULTS[name] = {"ok": True, "secs": round(time.perf_counter() - t0, 1), **detail}
+            except Exception as e:  # noqa: BLE001
+                traceback.print_exc()
+                RESULTS[name] = {
+                    "ok": False,
+                    "secs": round(time.perf_counter() - t0, 1),
+                    "error": f"{type(e).__name__}: {e}",
+                }
+        return wrapped
+
+    return deco
+
+
+@check("fused_attention_dropout")
+def check_attention():
+    import tools.validate_fused_attention as vfa
+
+    vfa.main()  # asserts internally
+
+
+@check("fused_ffn_dropout")
+def check_ffn():
+    from dpr_scale_tpu.ops.ffn import fused_ffn
+
+    rate = 0.25
+    N, H, F = 2048, 256, 512
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N, H)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(H, F)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(F,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(F, H)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(H,)) * 0.05, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(N, H)), jnp.float32)
+    s0 = jnp.asarray([17], jnp.int32)
+
+    def ref_det(x):
+        h = jax.nn.gelu(jnp.dot(x, w1) + b1, approximate=False)
+        return jnp.dot(h, w2) + b2
+
+    y_det = np.asarray(jax.jit(lambda: fused_ffn(x, w1, b1, w2, b2, s0, 0.0))())
+    y_ref = np.asarray(jax.jit(ref_det)(x))
+    det_err = float(np.abs(y_det - y_ref).max() / np.abs(y_ref).max())
+    assert det_err < 1e-3, f"deterministic parity {det_err}"
+
+    drop = jax.jit(lambda s: fused_ffn(x, w1, b1, w2, b2, s, rate))
+    y0 = np.asarray(drop(s0))
+    assert np.array_equal(y0, np.asarray(drop(s0))), "same seed must be deterministic"
+    assert not np.array_equal(y0, np.asarray(drop(jnp.asarray([18], jnp.int32)))), (
+        "seeds must decorrelate"
+    )
+    frac = float((y0 == 0.0).mean())
+    assert abs(frac - rate) < 0.02, f"drop fraction {frac} vs {rate}"
+
+    outs = [np.asarray(drop(jnp.asarray([s], jnp.int32))) for s in range(64)]
+    mean = np.mean(outs, axis=0)
+    slope = float((mean * y_det).sum() / (y_det * y_det).sum())
+    assert abs(slope - 1.0) < 0.01, f"inverted-dropout slope {slope}"
+
+    # fwd/bwd PRNG-stream consistency: the dropout mask is exactly the
+    # zero pattern of the output; the VJP must match a same-mask reference
+    keep = jnp.asarray(y0 != 0.0)
+
+    def ref_masked(x, w1, b1, w2, b2):
+        y = ref_det_params(x, w1, b1, w2, b2)
+        return jnp.where(keep, y / (1.0 - rate), 0.0)
+
+    def ref_det_params(x, w1, b1, w2, b2):
+        h = jax.nn.gelu(jnp.dot(x, w1) + b1, approximate=False)
+        return jnp.dot(h, w2) + b2
+
+    def fused_drop(x, w1, b1, w2, b2):
+        return fused_ffn(x, w1, b1, w2, b2, s0, rate)
+
+    o0, vjp0 = jax.vjp(ref_masked, x, w1, b1, w2, b2)
+    o1, vjp1 = jax.vjp(fused_drop, x, w1, b1, w2, b2)
+    assert float(jnp.abs(o0 - o1).max()) < 5e-3 * float(jnp.abs(o0).max())
+    grads = {}
+    for name, a, b in zip(
+        ("dx", "dw1", "db1", "dw2", "db2"),
+        jax.jit(lambda: vjp0(g))(),
+        jax.jit(lambda: vjp1(g))(),
+    ):
+        d = float(jnp.abs(a - b).max())
+        m = max(float(jnp.abs(a).max()), 1.0)
+        grads[name] = round(d / m, 6)
+        assert d < 0.01 * m, (name, d, m)
+    return {"det_rel_err": round(det_err, 6), "drop_frac": round(frac, 4),
+            "slope": round(slope, 4), "vjp_rel": grads}
+
+
+def _make_corpus(mesh, rows, dim=768):
+    """Synthesize a corpus on-device (the tunnel cannot upload GBs)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("data", None))
+    CH = 1 << 19
+    chunks = []
+    for i in range(0, rows, CH):
+        n = min(CH, rows - i)
+        chunks.append(
+            jax.jit(
+                lambda k, n=n: jax.random.normal(k, (n, dim), jnp.bfloat16),
+                out_shardings=shard,
+            )(jax.random.PRNGKey(i))
+        )
+    return chunks
+
+
+@check("mips_exactness_and_recall")
+def check_mips(rows):
+    from dpr_scale_tpu.index import MipsIndex
+    from dpr_scale_tpu.parallel import get_mesh
+
+    mesh = get_mesh()
+    chunks = _make_corpus(mesh, rows)
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((256, 768), dtype=np.float32)
+
+    def build(method):
+        ix = MipsIndex(mesh, dtype=jnp.bfloat16, method=method)
+        for c in chunks:
+            ix.add_device(c)
+        return ix
+
+    s_exact, i_exact = build("exact_sort").search(q, k=100)
+    detail = {"rows": rows}
+    for method in ("fused", "groupmax"):
+        _s, i_m = build(method).search(q, k=100)
+        mismatch = int((i_m != i_exact).sum())
+        detail[f"{method}_idx_mismatches"] = mismatch
+        assert mismatch == 0, f"{method}: {mismatch} index mismatches vs exact_sort"
+    for method, floor in (("int8", 0.95), ("approx", 0.97)):
+        _s, i_m = build(method).search(q, k=100)
+        rec = float(
+            np.mean(
+                [len(set(a) & set(b)) / 100.0 for a, b in zip(i_m, i_exact)]
+            )
+        )
+        detail[f"{method}_recall@100"] = round(rec, 4)
+        assert rec >= floor, f"{method} recall {rec} < {floor}"
+    return detail
+
+
+_TRAIN_SNIPPET = """
+import json
+import jax
+{cpu_setup}
+import jax.numpy as jnp
+import numpy as np
+import sys
+sys.path.insert(0, {repo!r})
+import dataclasses
+from dpr_scale_tpu.models import TransformerConfig
+from dpr_scale_tpu.optim import make_optimizer
+from dpr_scale_tpu.train import DenseRetrieverTask
+from dpr_scale_tpu.train.schedule import linear_warmup_decay
+
+cfg = dataclasses.replace(TransformerConfig.tiny(), dtype=jnp.float32)
+task = DenseRetrieverTask(
+    cfg=cfg,
+    optimizer=make_optimizer("adamw", linear_warmup_decay(2e-5, 10, 100), grad_clip_norm=2.0),
+)
+rng = np.random.default_rng(0)
+B, C, QL, CL = 8, 2, 12, 16
+batch = {{
+    "query_ids": rng.integers(1, 32, (B, QL)).astype(np.int32),
+    "query_mask": np.ones((B, QL), np.int32),
+    "contexts_ids": rng.integers(1, 32, (B * C, CL)).astype(np.int32),
+    "contexts_mask": np.ones((B * C, CL), np.int32),
+    "pos_ctx_indices": (np.arange(B) * C).astype(np.int32),
+    "scores": np.zeros((B, C), np.float32),
+    "ctx_mask": np.zeros((B * C,), bool),
+}}
+state = task.init_state(jax.random.PRNGKey(0), batch)
+step = task.make_train_step()
+state, m = step(state, task.shard(batch))
+print("RESULT " + json.dumps({{
+    "loss": float(m["train_loss"]),
+    "grad_norm": float(m.get("grad_norm", -1.0)),
+}}))
+"""
+
+
+@check("train_step_vs_cpu")
+def check_train_step():
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+
+    def run(cpu):
+        env = dict(os.environ)
+        code = _TRAIN_SNIPPET.format(
+            repo=repo,
+            cpu_setup=(
+                "jax.config.update('jax_platforms', 'cpu')" if cpu else "pass"
+            ),
+        )
+        if cpu:
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, timeout=420, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        return json.loads(line[len("RESULT "):])
+
+    tpu = run(cpu=False)
+    cpu = run(cpu=True)
+    rel = abs(tpu["loss"] - cpu["loss"]) / max(abs(cpu["loss"]), 1e-6)
+    reln = abs(tpu["grad_norm"] - cpu["grad_norm"]) / max(abs(cpu["grad_norm"]), 1e-6)
+    assert rel < 5e-3, f"loss TPU {tpu['loss']} vs CPU {cpu['loss']}"
+    assert reln < 5e-2, f"grad_norm TPU {tpu['grad_norm']} vs CPU {cpu['grad_norm']}"
+    return {"tpu": tpu, "cpu": cpu, "loss_rel": round(rel, 6),
+            "grad_norm_rel": round(reln, 6)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None, help="also write the JSON verdict here")
+    p.add_argument("--rows", type=int, default=1_048_576)
+    p.add_argument(
+        "--only", default=None,
+        help="comma list: attention,ffn,mips,train (default: all)",
+    )
+    args = p.parse_args()
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(tag):
+        return only is None or tag in only
+
+    if want("attention"):
+        check_attention()
+    if want("ffn"):
+        check_ffn()
+    if want("mips"):
+        check_mips(args.rows)
+    if want("train"):
+        check_train_step()
+
+    ok = all(v["ok"] for v in RESULTS.values())
+    verdict = {"ok": ok, "checks": RESULTS, "device": str(jax.devices()[0])}
+    line = json.dumps(verdict)
+    print(line)
+    if args.out:
+        pathlib.Path(args.out).write_text(line + "\n")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
