@@ -75,6 +75,13 @@ def main():
     parser.add_argument("--qtokens", type=int, default=32)
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--dim", type=int, default=128)
+    parser.add_argument(
+        "--stage", default="full",
+        choices=["full", "score", "sort1", "gather", "einsum", "scan"],
+        help="stub the pipeline to time phases: gather = posting-block "
+        "gather only; einsum = + scoring; scan = + run max; score = full "
+        "bucket scoring; sort1 = + first sort and suffix-sum",
+    )
     args = parser.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
@@ -119,6 +126,78 @@ def main():
         "expert_repr": rng.normal(size=(B, T, D)).astype(np.float32),
         "attention_mask": np.ones((B, T), np.int64),
     }
+
+    if args.stage in ("gather", "einsum", "scan"):
+        stage = args.stage
+
+        def score_stub(self, vecs, run_id, run_doc, start_pos, slots, qvecs,
+                       qrows, mrl):
+            R = run_doc.shape[1]
+            pv = vecs[slots]
+            if stage == "gather":
+                v = jnp.sum(pv.astype(jnp.float32), axis=(1, 2))[:, None]
+                v = jnp.broadcast_to(v, (v.shape[0], R)).reshape(-1)
+                return (
+                    jnp.repeat(qrows, R),
+                    jnp.full((qrows.shape[0] * R,), self.num_docs, jnp.int32),
+                    v,
+                )
+            rid = run_id[slots]
+            scores = jnp.einsum(
+                "ed,eld->el", qvecs.astype(pv.dtype), pv,
+                preferred_element_type=jnp.float32,
+            )
+            if stage == "scan":
+                E = scores.shape[0]
+                d = 1
+                while d < mrl:
+                    sh_s = jnp.concatenate(
+                        [scores[:, d:], jnp.full((E, d), -jnp.inf, scores.dtype)],
+                        axis=1,
+                    )
+                    sh_r = jnp.concatenate(
+                        [rid[:, d:], jnp.full((E, d), -1, rid.dtype)], axis=1
+                    )
+                    scores = jnp.where(
+                        sh_r == rid, jnp.maximum(scores, sh_s), scores
+                    )
+                    d *= 2
+            v = jnp.sum(scores, axis=1)[:, None]
+            v = jnp.broadcast_to(v, (v.shape[0], R)).reshape(-1)
+            return (
+                jnp.repeat(qrows, R),
+                jnp.full((qrows.shape[0] * R,), self.num_docs, jnp.int32),
+                v,
+            )
+
+        DeviceExpertIndex._score_bucket = score_stub
+
+        def stub(self, rows, docs, vals, batch, k, mdup):
+            s = jnp.full((batch, k), jnp.sum(vals), jnp.float32)
+            return s, jnp.zeros((batch, k), jnp.int32)
+
+        DeviceExpertIndex._combine_updates_sorted = stub
+
+    if args.stage in ("score", "sort1"):
+        stage = args.stage
+
+        def stub(self, rows, docs, vals, batch, k, mdup):
+            if stage == "score":
+                s = jnp.full((batch, k), jnp.sum(vals), jnp.float32)
+                return s, jnp.zeros((batch, k), jnp.int32)
+            nd = self.num_docs
+            key = rows.astype(jnp.int64) * (nd + 2) + docs.astype(jnp.int64)
+            skey, svals = jax.lax.sort((key, vals), num_keys=1)
+            d = 1
+            while d < mdup:
+                sh_v = jnp.concatenate([svals[d:], jnp.zeros((d,), svals.dtype)])
+                sh_k = jnp.concatenate([skey[d:], jnp.full((d,), -1, skey.dtype)])
+                svals = svals + jnp.where(sh_k == skey, sh_v, 0.0)
+                d *= 2
+            s = jnp.full((batch, k), jnp.sum(svals), jnp.float32)
+            return s, jnp.zeros((batch, k), jnp.int32)
+
+        DeviceExpertIndex._combine_updates_sorted = stub
 
     s, i = idx.search(query, topk=100)  # compile + warm
     t0 = time.perf_counter()

@@ -191,6 +191,50 @@ def check_mips(rows):
     return detail
 
 
+@check("citadel_device_index")
+def check_citadel():
+    """Host vs device expert-index search on the REAL chip — covers the
+    Pallas DMA-gather score kernel and the sort-based combine, neither of
+    which the CPU suite can execute."""
+    import jax.numpy as jnp
+
+    from dpr_scale_tpu.index.inverted import InvertedExpertIndex, _ExpertPostings
+    from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
+
+    num_docs, D = 50_000, 128
+    rng = np.random.default_rng(11)
+    host = InvertedExpertIndex(dim=D, num_docs=num_docs)
+    for e in range(64):
+        n = int(rng.integers(50, 400))
+        ids = np.sort(rng.choice(num_docs, size=n, replace=True)).astype(np.int64)
+        host.experts[e] = _ExpertPostings(
+            ids, np.ones(n, np.float32),
+            rng.normal(size=(n, D)).astype(np.float32),
+        )
+    B, T = 8, 8
+    q_out = {
+        "expert_ids": rng.integers(0, 64, size=(B, T)).astype(np.int64),
+        "expert_repr": rng.normal(size=(B, T, D)).astype(np.float32),
+        "attention_mask": np.ones((B, T), np.int64),
+    }
+    hs, hr = host.search(q_out, topk=20)
+    detail = {}
+    for tag, min_docs in (("sorted", 0), ("dense", 10**9)):
+        dev = DeviceExpertIndex.from_host_index(host, dtype=jnp.float32)
+        dev.sorted_combine_min_docs = min_docs
+        ds, dr = dev.search(q_out, topk=20)
+        bad = 0
+        for b in range(B):
+            dense_h = np.zeros(num_docs, np.float32)
+            dense_h[hr[b]] = hs[b]
+            dense_d = np.zeros(num_docs, np.float32)
+            dense_d[dr[b]] = ds[b]
+            bad += int((np.abs(dense_h - dense_d) > 1e-3).sum())
+        detail[f"{tag}_bad_entries"] = bad
+        assert bad == 0, (tag, bad)
+    return detail
+
+
 _TRAIN_SNIPPET = """
 import json
 import jax
@@ -268,7 +312,7 @@ def main():
     p.add_argument("--rows", type=int, default=1_048_576)
     p.add_argument(
         "--only", default=None,
-        help="comma list: attention,ffn,mips,train (default: all)",
+        help="comma list: attention,ffn,mips,citadel,train (default: all)",
     )
     args = p.parse_args()
 
@@ -289,6 +333,8 @@ def main():
         check_ffn()
     if want("mips"):
         check_mips(args.rows)
+    if want("citadel"):
+        check_citadel()
     if want("train"):
         check_train_step()
 
