@@ -203,6 +203,75 @@ class DeviceExpertIndex:
 
     # ------------------------------------------------------------- #
 
+    @staticmethod
+    def _scores_pallas(vecs, slots, qvecs):
+        """Posting-block fetch + score matvec as ONE Pallas kernel.
+
+        ``vecs[slots]`` as an XLA gather measured 214 ms of a 268 ms
+        B=128 search (tools/bench_citadel_device.py --stage gather:
+        ~16 GB/s effective) — the whole bucket-scoring phase is that
+        gather. Here the expert blocks stream HBM->VMEM through the
+        Pallas pipeline via a scalar-prefetch data-dependent index map
+        (descriptor cost ~200 ns vs the gather's per-element cost), and
+        the score matvec runs on the block while the next block's DMA is
+        in flight. Returns (E, L) fp32 scores.
+        """
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        E = slots.shape[0]
+        _n_exp, L, D = vecs.shape
+        TL = min(L, 2048)
+        # G entries per grid step: one entry/step costs ~5.5 us of fixed
+        # step overhead (measured: 24 GB/s effective); batching G manual
+        # DMAs per step amortizes it to ~DMA speed
+        G = 32
+        while G * TL * D * 2 > 6 * 1024 * 1024 and G > 8:
+            G //= 2
+        G = min(G, E)
+
+        def kern(slots_ref, v_hbm, q_ref, o_ref, scratch, sems):
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            copies = []
+            for g in range(G):
+                c = pltpu.make_async_copy(
+                    v_hbm.at[slots_ref[i * G + g], pl.ds(j * TL, TL)],
+                    scratch.at[g],
+                    sems.at[g],
+                )
+                c.start()
+                copies.append(c)
+            for c in copies:
+                c.wait()
+            prod = scratch[:].astype(jnp.float32) * q_ref[:][:, None, :].astype(
+                jnp.float32
+            )
+            o_ref[:, :] = jnp.sum(prod, axis=-1)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(E // G, L // TL),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # full vecs, stays HBM
+                pl.BlockSpec(
+                    (G, D), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (G, TL), lambda i, j, s: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((G, TL, D), vecs.dtype),
+                pltpu.SemaphoreType.DMA((G,)),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((E, L), jnp.float32),
+        )(slots, vecs, qvecs.astype(vecs.dtype))
+
     def _score_bucket(
         self, vecs, run_id, run_doc, start_pos, slots, qvecs, qrows, mrl
     ):
@@ -221,15 +290,19 @@ class DeviceExpertIndex:
         passes — pure VPU streaming) instead of ``segment_max``, whose
         XLA lowering is itself a scatter.
         """
-        # gather posting blocks for the touched experts
-        pv = vecs[slots]  # (E, L, D)
         rid = run_id[slots]  # (E, L)
         rdoc = run_doc[slots]  # (E, R)
         spos = start_pos[slots]  # (E, R)
-        scores = jnp.einsum(
-            "ed,eld->el", qvecs.astype(pv.dtype), pv,
-            preferred_element_type=jnp.float32,
-        )  # (E, L)
+        D = qvecs.shape[-1]
+        if jax.default_backend() != "cpu" and D % 128 == 0:
+            # fused DMA-gather + matvec kernel (see _scores_pallas)
+            scores = self._scores_pallas(vecs, slots, qvecs)
+        else:  # CPU tests / non-MXU dims: XLA gather + einsum
+            pv = vecs[slots]  # (E, L, D)
+            scores = jnp.einsum(
+                "ed,eld->el", qvecs.astype(pv.dtype), pv,
+                preferred_element_type=jnp.float32,
+            )  # (E, L)
         E, L = scores.shape
         # doubling suffix max within runs: after ceil(log2(mrl)) rounds,
         # position i holds max(scores[i:end_of_run(i)]) — run STARTS hold

@@ -14,17 +14,15 @@ them — exactly what these kernels take over from XLA:
     scratch, bias + inverted dropout applied in-register at the last F
     tile with the TPU-native PRNG — the (N, F) intermediate is written
     once in bf16 as the bwd residual, and no dropout mask tensor exists;
-  * **backward** — split cuDNN-style so every weight-gradient output
-    block stays VMEM-resident across its whole accumulation:
-      - dgrad, grid ``(N tiles, F tiles)``: regenerates the dropout mask
-        (same per-N-tile seeding as fwd), fuses the GELU derivative into
-        the two data-gradient matmuls, accumulates ``dx`` in scratch;
-      - wgrad, grid ``(F tiles, N tiles)`` with the N axis innermost:
-        ``dw1/dw2/db1`` blocks are indexed by the F tile only, so they
-        are revisited in CONSECUTIVE grid steps and accumulate in fp32
-        without ever round-tripping HBM;
-  * residuals are ``x`` and the bf16 ``pre`` — the same footprint the
-    XLA path saves, so memory behavior is unchanged.
+  * **backward** — plain XLA. Measured on v5e (tools/bench_ffn.py,
+    scan-chained device-only): the Pallas forward beats XLA 96.5 vs
+    76.5 TF/s, but XLA runs the backward matmuls at ~148 TF/s vs 125
+    for a hand-split Pallas dgrad/wgrad (tried and removed — git
+    history) — so the VJP delegates to XLA dots, recovering the dropout
+    mask from the saved output's zero pattern (inverted dropout zeroes
+    exactly the dropped entries) instead of re-running the PRNG;
+  * residuals are ``x``, the bf16 ``pre``, and ``y`` — close to the
+    footprint the XLA path saves, so memory behavior is unchanged.
 
 Semantics match the einsum path: bf16 matmul inputs with fp32
 accumulation, exact (erf) GELU, dropout AFTER the second bias add with
@@ -181,156 +179,6 @@ def _fwd_impl(x, w1, b1, w2, b2, seed, rate, interpret):
 
 
 # ------------------------------------------------------------------ #
-# backward: dgrad
-
-
-def _dgrad_kernel(seed_ref, g_ref, pre_ref, w1_ref, w2_ref,
-                  dx_ref, dpre_ref, dz_ref, dxacc_ref, dz_s, *, rate, nF):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        g = g_ref[:].astype(jnp.float32)
-        if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-            keep = _keep_mask(g.shape, rate)
-            g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
-        dz_s[:] = g.astype(dz_s.dtype)
-        dz_ref[:] = g.astype(dz_ref.dtype)
-
-    dz = dz_s[:]
-    # dh_j = dz @ w2_j^T  (contract H)
-    dh = jax.lax.dot_general(
-        dz, w2_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    pre = pre_ref[:].astype(jnp.float32)
-    dpre = dh * _dgelu(pre)
-    dpre_lp = dpre.astype(dpre_ref.dtype)
-    dpre_ref[:] = dpre_lp
-    # dx += dpre_j @ w1_j^T  (contract F tile)
-    part = jax.lax.dot_general(
-        dpre_lp, w1_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(j == 0)
-    def _():
-        dxacc_ref[:] = part
-
-    @pl.when(j > 0)
-    def _():
-        dxacc_ref[:] = dxacc_ref[:] + part
-
-    @pl.when(j == nF - 1)
-    def _():
-        dx_ref[:] = dxacc_ref[:].astype(dx_ref.dtype)
-
-
-# backward: wgrad
-
-
-def _wgrad_kernel(x_ref, pre_ref, dpre_ref, dz_ref,
-                  dw1_ref, dw2_ref, db1_ref):
-    i = pl.program_id(1)
-    x = x_ref[:]
-    dpre = dpre_ref[:]
-    # dw1_j += x_i^T @ dpre_ij  (contract rows)
-    dw1 = jax.lax.dot_general(
-        x, dpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    h = _gelu(pre_ref[:].astype(jnp.float32)).astype(x.dtype)
-    # dw2_j += h_ij^T @ dz_i
-    dw2 = jax.lax.dot_general(
-        h, dz_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    db1 = jnp.sum(dpre.astype(jnp.float32), axis=0, keepdims=True)
-
-    @pl.when(i == 0)
-    def _():
-        dw1_ref[:] = dw1
-        dw2_ref[:] = dw2
-        db1_ref[:] = db1
-
-    @pl.when(i > 0)
-    def _():
-        dw1_ref[:] = dw1_ref[:] + dw1
-        dw2_ref[:] = dw2_ref[:] + dw2
-        db1_ref[:] = db1_ref[:] + db1
-
-
-def _bwd_impl(x, w1, w2, pre, seed, g, rate, interpret, Np):
-    N, H = x.shape
-    F = w1.shape[1]
-    TN, TF = _tiles(N, H, F, x.dtype.itemsize)
-    if Np != N:
-        x = jnp.pad(x, ((0, Np - N), (0, 0)))
-        g = jnp.pad(g, ((0, Np - N), (0, 0)))
-    nN, nF = Np // TN, F // TF
-    w1c = w1.astype(x.dtype)
-    w2c = w2.astype(x.dtype)
-    g = g.astype(x.dtype)
-
-    dgrad_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nN, nF),
-        in_specs=[
-            pl.BlockSpec((TN, H), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TF), lambda i, j, s: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, TF), lambda i, j, s: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TF, H), lambda i, j, s: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((TN, H), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TF), lambda i, j, s: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, H), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((TN, H), jnp.float32),
-            pltpu.VMEM((TN, H), x.dtype),
-        ],
-    )
-    dx, dpre, dz = pl.pallas_call(
-        functools.partial(_dgrad_kernel, rate=rate, nF=nF),
-        grid_spec=dgrad_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((Np, H), x.dtype),
-            jax.ShapeDtypeStruct((Np, F), x.dtype),
-            jax.ShapeDtypeStruct((Np, H), x.dtype),
-        ),
-        interpret=interpret,
-    )(seed, g, pre, w1c, w2c)
-
-    wgrad_spec = pl.GridSpec(
-        grid=(nF, nN),
-        in_specs=[
-            pl.BlockSpec((TN, H), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TF), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TF), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, H), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((H, TF), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TF, H), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TF), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        ),
-    )
-    dw1, dw2, db1 = pl.pallas_call(
-        _wgrad_kernel,
-        grid_spec=wgrad_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((H, F), jnp.float32),
-            jax.ShapeDtypeStruct((F, H), jnp.float32),
-            jax.ShapeDtypeStruct((1, F), jnp.float32),
-        ),
-        interpret=interpret,
-    )(x, pre, dpre, dz)
-    db2 = jnp.sum(dz[:N].astype(jnp.float32), axis=0)
-    return dx[:N], dw1, db1.reshape(F), dw2, db2
-
-
-# ------------------------------------------------------------------ #
 # custom VJP
 
 
@@ -351,14 +199,44 @@ def fused_ffn(x, w1, b1, w2, b2, seed, rate: float = 0.0,
 
 def _fused_ffn_fwd(x, w1, b1, w2, b2, seed, rate, interpret):
     y, pre, Np = _fwd_impl(x, w1, b1, w2, b2, seed, rate, interpret)
-    return y, (x, w1, w2, pre, seed, Np)
+    return y, (x, w1, w2, pre, y, seed, Np)
 
 
 def _fused_ffn_bwd(rate, interpret, res, g):
-    x, w1, w2, pre, seed, Np = res
-    dx, dw1, db1, dw2, db2 = _bwd_impl(
-        x, w1, w2, pre, seed, g, rate, interpret, Np
+    """Backward in PLAIN XLA (measured on v5e: XLA runs the FFN backward
+    matmuls at ~148 TF/s vs 125 for the Pallas dgrad/wgrad split, while
+    the Pallas FORWARD beats XLA 96.5 vs 76.5 — so fuse the forward,
+    delegate the backward). The dropout mask is recovered from the saved
+    output's zero pattern (inverted dropout zeroes exactly the dropped
+    entries; a genuine pre-dropout zero has measure zero in fp), so the
+    in-kernel PRNG never needs a CPU/XLA twin."""
+    x, w1, w2, pre, y, seed, Np = res
+    N = x.shape[0]
+    pre = pre[:N]
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    if rate > 0.0:
+        dz = jnp.where(y != 0, g * (1.0 / (1.0 - rate)), 0).astype(x.dtype)
+    else:
+        dz = g.astype(x.dtype)
+    pre_f = pre.astype(jnp.float32)
+    # dh = dz @ w2^T ; dpre = dh * gelu'(pre)
+    dh = jax.lax.dot_general(
+        dz, w2c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    dpre = (dh * _dgelu(pre_f)).astype(x.dtype)
+    dx = jax.lax.dot_general(
+        dpre, w1c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    dw1 = jax.lax.dot_general(
+        x, dpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = _gelu(pre_f).astype(x.dtype)
+    dw2 = jax.lax.dot_general(
+        h, dz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=0)
+    db2 = jnp.sum(dz.astype(jnp.float32), axis=0)
     import numpy as np
 
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
