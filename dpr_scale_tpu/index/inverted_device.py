@@ -50,6 +50,97 @@ def _bucket_for(n: int) -> int:
 
 TILE = 2048  # accumulator column tile for the tiled exact top-k
 
+# streamed bucket scoring: entries per compute window / target bytes per
+# posting-block DMA chunk (big contiguous chunks reach streaming-class
+# HBM bandwidth where per-entry random DMAs measured 8-30 GB/s)
+STREAM_M = 32
+STREAM_CHUNK = 2 * 1024 * 1024
+
+# scorer selection: "auto" = streamed kernel on TPU / einsum on CPU;
+# "on" forces the streamed kernel (interpret-mode Pallas on CPU — the
+# suite's coverage hook); "off" forces the per-entry DMA kernel on TPU
+STREAM_MODE = "auto"
+
+
+def _stream_group_target(L: int, D: int, itemsize: int) -> int:
+    """Experts per posting-group so one (G, L, D) block is ~STREAM_CHUNK
+    bytes (1 when a single expert's postings already exceed the chunk).
+    ``from_host_index`` pads each bucket's expert axis to a multiple of
+    this so the streamed scorer's blocks tile the array exactly."""
+    if L * D * itemsize >= STREAM_CHUNK:
+        return 1
+    return max(1, STREAM_CHUNK // (L * D * itemsize))
+
+
+def _stream_cfg(n_exp: int, L: int, D: int, itemsize: int) -> Tuple[int, int]:
+    """(G, TL): experts per posting-group and L-tile for the streamed
+    scorer, sized so one (G, TL, D) block is ~STREAM_CHUNK bytes."""
+    if L * D * itemsize >= STREAM_CHUNK:
+        TL = max(8, STREAM_CHUNK // (D * itemsize))
+        while L % TL:
+            TL //= 2
+        return 1, TL
+    G = min(_stream_group_target(L, D, itemsize), n_exp)
+    while n_exp % G:
+        G -= 1
+    return G, L
+
+
+def _pad_2bit(n: int, minimum: int = 1, multiple: int = 1) -> int:
+    """Round ``n`` up to a two-significant-bit value (m * 2^e, m in
+    {2, 3}), at least ``minimum``, then to a multiple of ``multiple``.
+
+    Padded-shape granularity is THE lever on the combine cost: update
+    triples scale with n_pad * R_pad, and pure pow2 rounding inflated the
+    B=128 MS MARCO-layout sort input 3.3x over the real update count
+    (16.8M vs ~5M). Two significant bits keeps the jit-shape count
+    bounded (two shapes per pow2 decade) at <=1.33x overshoot.
+    """
+    n = max(n, minimum, 1)
+    e = max((n - 1).bit_length() - 2, 0)
+    g = 1 << e
+    v = -(-n // g) * g
+    return -(-v // multiple) * multiple
+
+
+def _stream_steps(slots_sorted, n_real: int, n_pad: int, G: int):
+    """Step table for the streamed scorer: int32 (T_pad, 4) rows of
+    [posting_group, window, init, active].
+
+    Entries are slot-sorted, so the distinct (window, posting_group)
+    pairs — lexicographically sorted — visit posting groups in
+    non-decreasing order (sequential HBM streaming; a group spanning a
+    window boundary repeats and Pallas skips the re-fetch). ``init``
+    marks the first step of each window (output block initialize vs
+    accumulate); windows past the last real entry get one inactive init
+    step so every output block is written. Padded to a multiple of 64
+    steps with inactive no-ops to bound program recompiles.
+    """
+    M = STREAM_M
+    W = n_pad // M
+    w_real = np.arange(n_real) // M
+    pgs = slots_sorted[:n_real] // G
+    pairs = np.unique(np.stack([w_real, pgs], axis=1), axis=0)
+    last_pg = int(pairs[-1, 1]) if len(pairs) else 0
+    rows = []
+    for w, pg in pairs:
+        rows.append((int(pg), int(w), 0, 1))
+    seen_w = set(int(w) for w, _ in pairs)
+    for w in range(W):
+        if w not in seen_w:
+            rows.append((last_pg, w, 1, 0))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    # init = first step of each window
+    out = []
+    prev_w = -1
+    for pg, w, _i, act in rows:
+        out.append((pg, w, 1 if w != prev_w else 0, act))
+        prev_w = w
+    T = len(out)
+    T_pad = -(-max(T, 1) // 64) * 64
+    out.extend([(last_pg, W - 1, 0, 0)] * (T_pad - T))
+    return np.asarray(out, np.int32)
+
 
 class DeviceExpertIndex:
     """Built via :meth:`from_host_index`; search via :meth:`search`.
@@ -103,9 +194,14 @@ class DeviceExpertIndex:
 
         n_truncated = 0
         for bsize, entries in by_bucket.items():
-            # expert-parallel: pad the expert axis to a multiple of the
-            # mesh size (pad experts score exactly 0 into the trash column)
-            n_exp = -(-len(entries) // self.ndev) * self.ndev
+            # pad the expert axis to a multiple of (mesh size x streamed
+            # -scorer group) so expert-parallel shards split evenly AND the
+            # stream kernel's (G, L, D) blocks tile the array exactly; pad
+            # experts score exactly 0 into the trash column
+            dim = entries[0][1].vecs.shape[1]
+            g = _stream_group_target(bsize, dim, np.dtype(dtype).itemsize)
+            step = self.ndev * g // np.gcd(self.ndev, g)
+            n_exp = -(-len(entries) // step) * step
             vecs = np.zeros((n_exp, bsize, entries[0][1].vecs.shape[1]), np.float32)
             run_id = np.zeros((n_exp, bsize), np.int32)
             starts_all = np.zeros((n_exp, bsize), bool)
@@ -141,10 +237,7 @@ class DeviceExpertIndex:
             # triple per RUN (unique doc per expert), not per posting —
             # R_pad ~= padded_postings * fill / avg_run_len, measured ~2x
             # fewer scatter updates on the MS MARCO-scale synthetic layout
-            R_pad = 8
-            while R_pad < int(nruns.max(initial=1)):
-                R_pad *= 2
-            R_pad = min(R_pad, bsize)
+            R_pad = min(_pad_2bit(int(nruns.max(initial=1)), minimum=8), bsize)
             run_doc = np.full((n_exp, R_pad), -1, np.int64)
             start_pos = np.zeros((n_exp, R_pad), np.int32)
             for slot in range(len(entries)):
@@ -229,6 +322,8 @@ class DeviceExpertIndex:
         while G * TL * D * 2 > 6 * 1024 * 1024 and G > 8:
             G //= 2
         G = min(G, E)
+        while E % G:  # two-significant-bit E (e.g. 48) with pow2 G
+            G //= 2
 
         def kern(slots_ref, v_hbm, q_ref, o_ref, scratch, sems):
             i = pl.program_id(0)
@@ -272,8 +367,98 @@ class DeviceExpertIndex:
             out_shape=jax.ShapeDtypeStruct((E, L), jnp.float32),
         )(slots, vecs, qvecs.astype(vecs.dtype))
 
+    @staticmethod
+    def _scores_streamed(vecs, qvecs, slots, steps):
+        """Stream-and-pick bucket scorer: sequential posting streaming.
+
+        Replaces the per-entry random fetch (XLA gather and per-entry
+        DMA both measured 8-30 GB/s on v5e for 131 KB-2 MB chunks —
+        ~215 ms of a 268 ms B=128 search) with SEQUENTIAL streaming:
+        entries arrive slot-sorted, and a scalar-prefetched step table
+        (``_stream_steps``) pairs each M-entry window with the ascending
+        posting groups its entries touch, so the Pallas pipeline fetches
+        each TOUCHED (G, TL, D) ~2 MB block exactly once per L-tile, in
+        address order, double-buffered behind the compute. Per step the
+        kernel scores the whole window against the whole group on the
+        MXU and one-hot-masks each entry to its own expert; steps that
+        share a window accumulate into the same output block (VMEM
+        -resident across consecutive steps).
+
+        vecs (n_exp, L, D); qvecs (E_pad, D) f32 slot-sorted (pad slot =
+        n_exp, matching no group); slots (E_pad,) int32; steps (T, 4)
+        int32. Returns (E_pad, L) f32 scores.
+        """
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        n_exp, L, D = vecs.shape
+        E_pad = qvecs.shape[0]
+        M = STREAM_M
+        G, TL = _stream_cfg(n_exp, L, D, vecs.dtype.itemsize)
+        T = steps.shape[0]
+        J = L // TL
+
+        def kern(steps_ref, q_ref, sl_ref, v_ref, o_ref):
+            t = pl.program_id(1)
+            pg = steps_ref[t, 0]
+            init = steps_ref[t, 2]
+            active = steps_ref[t, 3]
+            v = v_ref[:].reshape(G * TL, D)
+            full = jax.lax.dot_general(
+                q_ref[:].astype(v.dtype),
+                v,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(M, G, TL)
+            local = sl_ref[:, 0] - pg * G  # (M,)
+            sel = (
+                local[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (M, G), 1)
+            ) & (active > 0)
+            contrib = jnp.sum(
+                full * sel.astype(jnp.float32)[:, :, None], axis=1
+            )  # (M, TL)
+
+            @pl.when(init > 0)
+            def _():
+                o_ref[:, :] = contrib
+
+            @pl.when(init == 0)
+            def _():
+                o_ref[:, :] += contrib
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(J, T),
+            in_specs=[
+                pl.BlockSpec(
+                    (M, D), lambda j, t, s: (s[t, 1], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (M, 1), lambda j, t, s: (s[t, 1], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (G, TL, D), lambda j, t, s: (s[t, 0], j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (M, TL), lambda j, t, s: (s[t, 1], j), memory_space=pltpu.VMEM
+            ),
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((E_pad, L), jnp.float32),
+            # CPU: interpret-mode execution so the suite covers the kernel
+            interpret=jax.default_backend() == "cpu",
+        )(steps, qvecs, slots.reshape(E_pad, 1), vecs)
+
     def _score_bucket(
-        self, vecs, run_id, run_doc, start_pos, slots, qvecs, qrows, mrl
+        self, vecs, run_id, run_doc, start_pos, slots, qvecs, qrows, mrl,
+        steps=None,
     ):
         """Traceable per-bucket scoring WITHOUT the accumulator scatter.
 
@@ -294,7 +479,10 @@ class DeviceExpertIndex:
         rdoc = run_doc[slots]  # (E, R)
         spos = start_pos[slots]  # (E, R)
         D = qvecs.shape[-1]
-        if jax.default_backend() != "cpu" and D % 128 == 0:
+        if steps is not None:
+            # sequential stream-and-pick kernel (see _scores_streamed)
+            scores = self._scores_streamed(vecs, qvecs, slots, steps)
+        elif jax.default_backend() != "cpu" and D % 128 == 0:
             # fused DMA-gather + matvec kernel (see _scores_pallas)
             scores = self._scores_pallas(vecs, slots, qvecs)
         else:  # CPU tests / non-MXU dims: XLA gather + einsum
@@ -348,10 +536,19 @@ class DeviceExpertIndex:
         corpora — see sorted_combine_min_docs).
         """
         nd = self.num_docs
-        key = rows.astype(jnp.int64) * (nd + 2) + docs.astype(jnp.int64)
-        skey, svals, sdocs, srows = jax.lax.sort(
-            (key, vals, docs, rows), num_keys=1
-        )
+        # the sorts move every byte of every column ~log(U) times, so the
+        # key is packed as narrow as the ranges allow and the doc/row
+        # columns are NOT carried as payload — they are recomputed from
+        # the sorted key (shift/mask or constant-divisor div, both cheap
+        # VPU ops). Pad rows are B, so the key range is (B+1)*(nd+2).
+        if (batch + 1) * (nd + 2) < 2**31:
+            ktype = jnp.int32
+        else:
+            ktype = jnp.int64
+        key = rows.astype(ktype) * (nd + 2) + docs.astype(ktype)
+        skey, svals = jax.lax.sort((key, vals), num_keys=1)
+        sdocs = (skey % (nd + 2)).astype(jnp.int32)
+        srows = (skey // (nd + 2)).astype(jnp.int32)
         U = skey.shape[0]
         d = 1
         while d < mdup:
@@ -432,8 +629,20 @@ class DeviceExpertIndex:
         and lets XLA schedule bucket programs back-to-back without host
         round-trips.
 
-        spec: tuple of (bucket_size, n_entries_padded, max_run_len) in
-        call order; mdup bounds duplicate (row, doc) keys (sorted mode).
+        The per-search host arrays arrive PACKED into two uploads —
+        ``packed_i`` (every bucket's slots ++ qrows ++ step table, int32)
+        and ``packed_q`` (every bucket's padded query vectors, row
+        -concatenated) — unpacked here with static offsets derived from
+        ``spec``. Measured on the tunneled v5e: each separate device_put
+        costs ~18-40 ms of per-call channel overhead, so the previous 4
+        -arrays-per-bucket layout (20 puts/search) paid a ~390 ms floor
+        before any device work ran; production PCIe hosts pay less but
+        still win from 2 transfers instead of 20.
+
+        spec: tuple of (bucket_size, n_entries_padded, max_run_len,
+        n_step_rows) in call order — n_step_rows > 0 selects the
+        streamed scorer; mdup bounds duplicate (row, doc) keys (sorted
+        mode).
         """
         use_sorted = (not has_cls) and self.num_docs >= self.sorted_combine_min_docs
         key = ("program", batch, spec, k, has_cls, use_sorted and mdup)
@@ -441,11 +650,28 @@ class DeviceExpertIndex:
             return self._search_fns[key]
 
         @jax.jit
-        def run(bucket_args, q_cls=None, cls_t=None):
-            parts = [
-                self._score_bucket(*args, mrl)
-                for (_bsize, _n, mrl), args in zip(spec, bucket_args)
-            ]
+        def run(bucket_tensors, packed_i, packed_q, q_cls=None, cls_t=None):
+            parts = []
+            oi = oq = 0
+            for (_bsize, n_pad, mrl, n_steps), tensors in zip(
+                spec, bucket_tensors
+            ):
+                slots = packed_i[oi : oi + n_pad]
+                qrows = packed_i[oi + n_pad : oi + 2 * n_pad]
+                oi += 2 * n_pad
+                steps = None
+                if n_steps:
+                    steps = packed_i[oi : oi + 4 * n_steps].reshape(
+                        n_steps, 4
+                    )
+                    oi += 4 * n_steps
+                qvecs = packed_q[oq : oq + n_pad]
+                oq += n_pad
+                parts.append(
+                    self._score_bucket(
+                        *tensors, slots, qvecs, qrows, mrl, steps=steps
+                    )
+                )
             if parts:
                 rows = jnp.concatenate([p[0] for p in parts])
                 docs = jnp.concatenate([p[1] for p in parts])
@@ -668,42 +894,86 @@ class DeviceExpertIndex:
                 )
             s, idx = run(tuple(bucket_args), cls_arg, q_cls)
         else:
+            use_stream = STREAM_MODE == "on" or (
+                STREAM_MODE == "auto"
+                and jax.default_backend() != "cpu"
+                and D % 128 == 0
+            )
+            ints: List[np.ndarray] = []
+            qs: List[np.ndarray] = []
             for bsize, (rows_b, slots_b, vecs_b) in sorted(per_bucket.items()):
                 bucket = self.buckets[bsize]
                 n = len(rows_b)
-                n_pad = max(8, 1 << (n - 1).bit_length())
+                n_exp = bucket["vecs"].shape[0]
+                if use_stream:
+                    # streamed scorer: entries slot-sorted so touched
+                    # posting groups are visited in address order; pad
+                    # slot = n_exp (matches no group -> contributes 0)
+                    order = np.argsort(slots_b, kind="stable")
+                    rows_b, slots_b, vecs_b = (
+                        rows_b[order], slots_b[order], vecs_b[order],
+                    )
+                    n_pad = _pad_2bit(n, minimum=STREAM_M, multiple=STREAM_M)
+                    pad_slot = n_exp
+                else:
+                    n_pad = _pad_2bit(n, minimum=8)
+                    pad_slot = 0
                 # pad rows = B (positive-OOB): dropped by the scatter,
                 # sorted past all real rows by the sorted combine
                 qrows = np.full((n_pad,), B, np.int32)
-                slots = np.zeros((n_pad,), np.int32)
+                slots = np.full((n_pad,), pad_slot, np.int32)
                 qvecs = np.zeros((n_pad, D), np.float32)
                 qrows[:n] = rows_b
                 slots[:n] = slots_b
                 qvecs[:n] = vecs_b
-                # pad entries: slot 0 with zero qvec -> scores 0 -> zero floor
-                spec.append((bsize, n_pad, bucket["max_run_len"]))
+                # pad entries: zero qvec -> scores 0 -> zero floor
                 bucket_args.append(
                     (
                         bucket["vecs"],
                         bucket["run_id"],
                         bucket["run_doc"],
                         bucket["start_pos"],
-                        jnp.asarray(slots),
-                        jnp.asarray(qvecs),
-                        jnp.asarray(qrows),
                     )
                 )
+                ints += [slots, qrows]
+                qs.append(qvecs)
+                if use_stream:
+                    G, _TL = _stream_cfg(
+                        n_exp, bsize, D, bucket["vecs"].dtype.itemsize
+                    )
+                    steps = _stream_steps(slots, n, n_pad, G)
+                    ints.append(steps.ravel())
+                    spec.append(
+                        (bsize, n_pad, bucket["max_run_len"], steps.shape[0])
+                    )
+                else:
+                    spec.append((bsize, n_pad, bucket["max_run_len"], 0))
             # duplicate-(row, doc) bound for the sorted combine: one
             # update per routed entry per doc, so <= entries per row
             mdup = 8
             while mdup < max(1, int(np.bincount(b_idx, minlength=1).max())):
                 mdup *= 2
+            # TWO uploads for the whole search (see _search_program):
+            # every int array packed into one vector, every qvec block
+            # into one matrix — in the index dtype, matching the in
+            # -kernel cast, so bf16 indexes upload half the bytes
+            packed_i = jnp.asarray(
+                np.concatenate(ints) if ints else np.zeros(1, np.int32)
+            )
+            q_np = (
+                np.concatenate(qs, axis=0) if qs else np.zeros((1, D), np.float32)
+            )
+            # host-side cast so a bf16 index uploads half the bytes (the
+            # scorers cast q to the posting dtype anyway)
+            packed_q = jnp.asarray(q_np.astype(np.dtype(self.dtype)))
             run = self._search_program(B, tuple(spec), k, has_cls, mdup)
             if has_cls:
                 q_cls = jnp.asarray(np.asarray(query_out["cls_repr"], np.float32))
-                s, idx = run(tuple(bucket_args), q_cls, self.cls.T)
+                s, idx = run(
+                    tuple(bucket_args), packed_i, packed_q, q_cls, self.cls.T
+                )
             else:
-                s, idx = run(tuple(bucket_args))
+                s, idx = run(tuple(bucket_args), packed_i, packed_q)
         if not as_numpy:
             self.latency["search_time"] += time.perf_counter() - tic
             return s, idx

@@ -143,6 +143,37 @@ def test_device_index_matches_host(variant, tmp_path):
     np.testing.assert_array_equal(np.asarray(dr2), dr)
 
 
+def test_device_index_streamed_scorer_matches_host(monkeypatch):
+    """The stream-and-pick Pallas scorer (interpret mode on CPU) must
+    reproduce the host search exactly — covers the slot-sorted entry
+    permutation, the step table, and the in-kernel one-hot masking."""
+    from dpr_scale_tpu.index import inverted_device as idev
+
+    monkeypatch.setattr(idev, "STREAM_MODE", "on")
+    model, params, doc_out = _encode("citadel", 8, 12, seed=8, topk=2, add_cls=True)
+    doc_out = {k: np.asarray(v) for k, v in doc_out.items()}
+    host = InvertedExpertIndex(dim=8, num_docs=8)
+    host.add_batch(range(8), doc_out)
+    host.finalize()
+    dev = idev.DeviceExpertIndex.from_host_index(host, dtype=jnp.float32)
+
+    rng = np.random.default_rng(9)
+    q_ids = jnp.asarray(rng.integers(5, 32, size=(3, 8)), jnp.int32)
+    q_out = model.apply(
+        params, q_ids, jnp.ones((3, 8), jnp.int32), topk=2, add_cls=True
+    )
+    q_out = {k: np.asarray(v) for k, v in q_out.items()}
+
+    hs, hr = host.search(q_out, topk=8)
+    ds, dr = dev.search(q_out, topk=8)
+    for b in range(3):
+        dense_h = np.zeros(8, np.float32)
+        dense_h[hr[b]] = hs[b]
+        dense_d = np.zeros(8, np.float32)
+        dense_d[dr[b]] = ds[b]
+        np.testing.assert_allclose(dense_d, dense_h, rtol=1e-4, atol=1e-4)
+
+
 def test_index_pruning_and_quantization():
     model, params, doc_out = _encode("citadel", 6, 10, seed=6, topk=2)
     doc_out = {k: np.asarray(v) for k, v in doc_out.items()}

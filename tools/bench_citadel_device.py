@@ -45,10 +45,9 @@ def synth_bucket(key, n_exp, bsize, D, num_docs, avg_fill=0.7):
     run_id[:, :fill] = np.cumsum(starts[:, :fill], axis=1) - 1
     run_id[:, fill:] = run_id[:, fill - 1 : fill]
     nruns = run_id[:, fill - 1] + 1
-    R_pad = 8
-    while R_pad < int(nruns.max()):
-        R_pad *= 2
-    R_pad = min(R_pad, bsize)
+    from dpr_scale_tpu.index.inverted_device import _pad_2bit
+
+    R_pad = min(_pad_2bit(int(nruns.max()), minimum=8), bsize)
     run_doc = np.full((n_exp, R_pad), -1, np.int32)
     start_pos = np.zeros((n_exp, R_pad), np.int32)
     max_run_len = 1
@@ -82,6 +81,10 @@ def main():
         "gather only; einsum = + scoring; scan = + run max; score = full "
         "bucket scoring; sort1 = + first sort and suffix-sum",
     )
+    parser.add_argument(
+        "--scorer", default="auto", choices=["auto", "on", "off"],
+        help="bucket scorer: on = streamed kernel, off = per-entry DMA",
+    )
     args = parser.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
@@ -89,7 +92,10 @@ def main():
     except Exception:
         pass
 
+    from dpr_scale_tpu.index import inverted_device
     from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
+
+    inverted_device.STREAM_MODE = args.scorer
 
     D = args.dim
     # skewed expert population (MS MARCO-like: most experts short, a few
@@ -131,7 +137,7 @@ def main():
         stage = args.stage
 
         def score_stub(self, vecs, run_id, run_doc, start_pos, slots, qvecs,
-                       qrows, mrl):
+                       qrows, mrl, steps=None):
             R = run_doc.shape[1]
             pv = vecs[slots]
             if stage == "gather":
