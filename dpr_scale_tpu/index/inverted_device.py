@@ -397,6 +397,16 @@ class DeviceExpertIndex:
         G, TL = _stream_cfg(n_exp, L, D, vecs.dtype.itemsize)
         T = steps.shape[0]
         J = L // TL
+        # fp32 postings are the PARITY mode (device_index_dtype=fp32,
+        # host-vs-device equality tests): the MXU's default pass runs
+        # fp32 operands at bf16 multiply precision (~2e-3 rel — fails
+        # 1e-3-abs host parity at |score|~30), so request the 3-pass
+        # fp32 path there; bf16 serving blocks keep the fast default.
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if vecs.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
 
         def kern(steps_ref, q_ref, sl_ref, v_ref, o_ref):
             t = pl.program_id(1)
@@ -409,6 +419,7 @@ class DeviceExpertIndex:
                 v,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             ).reshape(M, G, TL)
             local = sl_ref[:, 0] - pg * G  # (M,)
             sel = (

@@ -297,6 +297,34 @@ class MipsIndex:
         self._scales.append(scales_dev)
         self._total_rows += n
 
+    def add_host_quantized(
+        self, q8: np.ndarray, scales: np.ndarray, n_valid: Optional[int] = None
+    ) -> None:
+        """int8 mode only: add an already-quantized HOST-resident block
+        that streams through the device at search time.
+
+        Device-resident blocks (:meth:`add_device_quantized`) and host
+        tiers coexist in ONE index — ``search()`` visits every block and
+        merges exactly — giving hybrid HBM/host tiering for corpora
+        bigger than HBM (e.g. the 21M north-star corpus on one v5e:
+        ~12.6M rows int8 in HBM + the remainder streamed per sweep;
+        tools/bench_21m_rehearsal.py). Row count must be a multiple of
+        devices*128.
+        """
+        assert self.method == "int8"
+        n_pad, d = q8.shape
+        assert q8.dtype == np.int8 and scales.shape == (n_pad,)
+        assert n_pad % (self.ndev * 128) == 0
+        if self._dim is None:
+            self._dim = d
+        assert d == self._dim, "inconsistent embedding dim across shards"
+        n = n_valid if n_valid is not None else n_pad
+        valid = np.zeros((n_pad, 1), dtype=np.bool_)
+        valid[:n] = True
+        self._blocks.append((np.ascontiguousarray(q8), valid, n, self._total_rows))
+        self._scales.append(scales.astype(np.float32))
+        self._total_rows += n
+
     @property
     def num_rows(self) -> int:
         return self._total_rows

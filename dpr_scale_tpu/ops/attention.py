@@ -35,26 +35,52 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for picking the per-grid-step head chunk (bytes)
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for picking the per-grid-step (seq, head) chunk (bytes;
+# ~16 MB physical per core, leave headroom for Mosaic's own buffers)
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _head_chunk(nh: int, L: int, hd: int, itemsize: int) -> int:
-    """Largest divisor of nh whose working set fits the VMEM budget."""
-    fp32 = 4 * L * L * 4  # s/p/dp/ds live at once in the bwd kernel
-    per_head = L * hd * itemsize * 14  # 4 in + 3 out blocks, double-buffered
-    for hch in range(nh, 0, -1):
-        if nh % hch == 0 and fp32 + hch * per_head <= _VMEM_BUDGET:
-            return hch
-    return 1
+def _chunks(B: int, nh: int, L: int, hd: int, itemsize: int):
+    """(NB, hch): sequences and heads per grid step.
+
+    The attention core at BERT shapes is LATENCY-bound, not FLOP-bound:
+    per (seq, head) the matmuls are (L, hd) x (hd, L) with L<=256,
+    hd=64 — a few microseconds of fixed per-grid-step cost dwarfs the
+    ~2us of MXU work (measured via tools/bench_step_parts.py: the core
+    ran at ~8 TF/s effective with one sequence per step). So pack as
+    many (seq, head) pairs per step as VMEM allows: all heads first
+    (keeps a block contiguous over whole sequences), then multiple
+    sequences. At L=32 (query encode) this cuts grid steps ~8x.
+    """
+    # per (seq, head): ~4 live fp32 (L, L) intermediates in the bwd
+    # kernel (s/p/dp/ds) + in/out (L, hd) blocks, double-buffered
+    per_unit = 4 * L * L * 4 + L * hd * itemsize * 14
+    hch = 1
+    for h in range(nh, 0, -1):
+        if nh % h == 0 and h * per_unit <= _VMEM_BUDGET:
+            hch = h
+            break
+    NB = 1
+    for n in range(B, 0, -1):
+        if B % n == 0 and n * hch * per_unit <= _VMEM_BUDGET:
+            NB = n
+            break
+    return NB, hch
 
 
 def _softmax_probs(q, k, bias, scale):
-    """(Lq, hd) x (Lk, hd) -> fp32 softmax probs (Lq, Lk)."""
+    """(hch, Lq, hd) x (hch, Lk, hd) -> fp32 softmax probs (hch, Lq, Lk).
+
+    ONE batched dot_general over the head chunk instead of a Python loop
+    of per-head (L, hd) dots: the per-(seq, head) matmuls here are tiny
+    (128x128x64 at bert-base) and per-op overhead dominated the kernel —
+    the loop formulation measured ~8 TF/s effective on the attention
+    core (tools/bench_step_parts.py) with the MXU idling between dots.
+    """
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    s = s * scale + bias  # bias (1, Lk) broadcasts over query rows
+    s = s * scale + bias  # bias (1, 1, Lk) broadcasts over heads + rows
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
@@ -68,67 +94,71 @@ def _keep_mask(shape, rate):
     return bits >= thr
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate, scale, hch):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate, scale, nb):
     if rate > 0.0:
         step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
         pltpu.prng_seed(seed_ref[0], step)
-    bias = bias_ref[0]  # (1, Lk) fp32
-    for h in range(hch):
-        p = _softmax_probs(q_ref[0, h], k_ref[0, h], bias, scale)
+    for s in range(nb):  # same seq order as bwd: PRNG streams line up
+        bias = bias_ref[s][None]  # (1, 1, Lk) fp32
+        p = _softmax_probs(q_ref[s], k_ref[s], bias, scale)
         if rate > 0.0:
             keep = _keep_mask(p.shape, rate)
             p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-        o_ref[0, h] = jnp.dot(
-            p.astype(q_ref.dtype), v_ref[0, h], preferred_element_type=jnp.float32
+        o_ref[s] = jax.lax.dot_general(
+            p.astype(q_ref.dtype), v_ref[s], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref, dq_ref, dk_ref, dv_ref,
-    *, rate, scale, hch,
+    *, rate, scale, nb,
 ):
     if rate > 0.0:
         step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
         pltpu.prng_seed(seed_ref[0], step)
-    bias = bias_ref[0]
     inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
-    for h in range(hch):  # same head order as fwd: PRNG streams line up
-        q, k, v, g = q_ref[0, h], k_ref[0, h], v_ref[0, h], g_ref[0, h]
+    # batched over the head chunk, looped over the seq chunk — the keep
+    # mask is drawn per seq with the same (hch, Lq, Lk) shape and order
+    # as fwd, so the PRNG streams line up
+    for s in range(nb):
+        bias = bias_ref[s][None]  # (1, 1, Lk)
+        q, k, v, g = q_ref[s], k_ref[s], v_ref[s], g_ref[s]
         p = _softmax_probs(q, k, bias, scale)
         if rate > 0.0:
             keep = _keep_mask(p.shape, rate)
             pd = jnp.where(keep, p * inv_keep, 0.0)
         else:
             pd = p
-        # dV = pd.T @ g, contracted over query rows
-        dv_ref[0, h] = jax.lax.dot_general(
-            pd.astype(q_ref.dtype), g, (((0,), (0,)), ((), ())),
+        # dV = pd.T @ g per head, contracted over query rows
+        dv_ref[s] = jax.lax.dot_general(
+            pd.astype(q_ref.dtype), g, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(dv_ref.dtype)
         # d(pd) = g @ v.T; chain through the dropout scaling, then the
         # softmax vjp — with the FULL p (dropped entries still receive
         # the -p_j * <dp, p> term)
         dpd = jax.lax.dot_general(
-            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         dp = jnp.where(keep, dpd * inv_keep, 0.0) if rate > 0.0 else dpd
         dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = p * (dp - dsum)
         ds_lp = (ds * scale).astype(q_ref.dtype)
-        dq_ref[0, h] = jnp.dot(
-            ds_lp, k, preferred_element_type=jnp.float32
+        dq_ref[s] = jax.lax.dot_general(
+            ds_lp, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ).astype(dq_ref.dtype)
-        dk_ref[0, h] = jax.lax.dot_general(
-            ds_lp, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dk_ref[s] = jax.lax.dot_general(
+            ds_lp, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ).astype(dk_ref.dtype)
 
 
-def _specs(B, nh, L, hd, hch):
+def _specs(B, nh, L, hd, nb, hch):
     blk = pl.BlockSpec(
-        (1, hch, L, hd), lambda b, c, seed: (b, c, 0, 0), memory_space=pltpu.VMEM
+        (nb, hch, L, hd), lambda b, c, seed: (b, c, 0, 0), memory_space=pltpu.VMEM
     )
     bias_blk = pl.BlockSpec(
-        (1, 1, L), lambda b, c, seed: (b, 0, 0), memory_space=pltpu.VMEM
+        (nb, 1, L), lambda b, c, seed: (b, 0, 0), memory_space=pltpu.VMEM
     )
     return blk, bias_blk
 
@@ -155,14 +185,14 @@ def fused_attention(q, k, v, bias, seed, rate: float = 0.0, interpret: bool = Fa
 
 def _fused_attention_fwd_impl(q, k, v, bias, seed, rate, interpret):
     B, nh, L, hd = q.shape
-    hch = _head_chunk(nh, L, hd, q.dtype.itemsize)
-    blk, bias_blk = _specs(B, nh, L, hd, hch)
+    nb, hch = _chunks(B, nh, L, hd, q.dtype.itemsize)
+    blk, bias_blk = _specs(B, nh, L, hd, nb, hch)
     kern = functools.partial(
-        _fwd_kernel, rate=rate, scale=1.0 / math.sqrt(hd), hch=hch
+        _fwd_kernel, rate=rate, scale=1.0 / math.sqrt(hd), nb=nb
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, nh // hch),
+        grid=(B // nb, nh // hch),
         in_specs=[blk, blk, blk, bias_blk],
         out_specs=blk,
     )
@@ -182,14 +212,14 @@ def _fused_attention_fwd(q, k, v, bias, seed, rate, interpret):
 def _fused_attention_bwd(rate, interpret, res, g):
     q, k, v, bias, seed = res
     B, nh, L, hd = q.shape
-    hch = _head_chunk(nh, L, hd, q.dtype.itemsize)
-    blk, bias_blk = _specs(B, nh, L, hd, hch)
+    nb, hch = _chunks(B, nh, L, hd, q.dtype.itemsize)
+    blk, bias_blk = _specs(B, nh, L, hd, nb, hch)
     kern = functools.partial(
-        _bwd_kernel, rate=rate, scale=1.0 / math.sqrt(hd), hch=hch
+        _bwd_kernel, rate=rate, scale=1.0 / math.sqrt(hd), nb=nb
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, nh // hch),
+        grid=(B // nb, nh // hch),
         in_specs=[blk, blk, blk, bias_blk, blk],
         out_specs=(blk, blk, blk),
     )
