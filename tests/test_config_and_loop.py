@@ -31,6 +31,41 @@ def test_load_config_defaults_and_overrides(tmp_path):
     assert cfg.task.warmup_steps == 2  # file body survives
 
 
+def test_task_group_and_eval_configs_compose():
+    """Reference config-surface parity: task-group YAMLs
+    (conf/task/{dpr,multivec,...}.yaml analogs keyed on task.type) and
+    the eval-only experiment config (reference conf/nq_eval.yaml)."""
+    for name, ttype in (
+        ("dense", "dense"), ("multivec", "multivec"), ("distill", "distill")
+    ):
+        cfg = load_config(
+            os.path.join(CONF, "tiny_smoke.yaml"),
+            overrides=[],
+        )
+        base_lr = cfg.task.optim.lr
+        cfg2 = load_config(
+            os.path.join(CONF, "task", f"{name}.yaml"), conf_dir=CONF
+        )
+        assert cfg2.type == ttype
+        assert cfg2.shared_model is False
+        assert base_lr  # smoke: base config still loads alongside
+
+    eval_cfg = load_config(os.path.join(CONF, "nq_eval.yaml"))
+    # composed from nq.yaml (model/optim groups) + datamodule/generate
+    assert eval_cfg.task.model.arch == "bert_base"
+    assert eval_cfg.datamodule.encode_batch_size == 128
+    assert eval_cfg.datamodule.use_title is True
+    assert "passages_path" in eval_cfg.datamodule
+    # nq.yaml's own datamodule keys survive the group merge
+    assert eval_cfg.datamodule.num_negative == 1
+
+    for dmname, key in (
+        ("generate_query_emb", 128), ("generate_multivec_query_emb", 64)
+    ):
+        sub = load_config(os.path.join(CONF, "datamodule", f"{dmname}.yaml"))
+        assert sub.encode_batch_size == key and "test_path" in sub
+
+
 def test_parse_overrides_types():
     out = parse_overrides(["a.b=1", "a.c=true", "d=nul_str", "e=1.5e-3", "f=[1,2]"])
     assert out["a"]["b"] == 1 and out["a"]["c"] is True
