@@ -169,6 +169,23 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """nn.LayerNorm-layout (scale, bias) params without the normalize —
+    the LN-fused FFN path's checkpoint-interop analog of _DenseParams."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
 class TransformerLayer(nn.Module):
     cfg: TransformerConfig
 
@@ -177,17 +194,17 @@ class TransformerLayer(nn.Module):
         cfg = self.cfg
         attn = SelfAttention(cfg, name="attention")(x, attn_bias, deterministic)
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
-        x = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="attention_ln"
-        )(x + attn)
         rate = 0.0 if deterministic else cfg.hidden_dropout
         on_cpu = jax.default_backend() == "cpu"
         if cfg.fused_ffn and not (rate > 0.0 and on_cpu):
-            from dpr_scale_tpu.ops.ffn import fused_ffn
+            from dpr_scale_tpu.ops.ffn import fused_ffn_ln
 
-            # param tree identical to the einsum path's nn.Dense modules
-            # (intermediate/{kernel,bias}, ffn_output/{kernel,bias}) so
-            # checkpoints interop regardless of the fused_ffn flag
+            # param tree identical to the einsum path's modules
+            # (attention_ln/output_ln {scale,bias}, intermediate/
+            # ffn_output {kernel,bias}) so checkpoints interop
+            # regardless of the fused_ffn flag
+            g1, be1 = _LNParams(cfg.hidden_size, name="attention_ln")()
+            g2, be2 = _LNParams(cfg.hidden_size, name="output_ln")()
             w1, b1 = _DenseParams(
                 (cfg.hidden_size, cfg.intermediate_size), name="intermediate"
             )()
@@ -200,22 +217,28 @@ class TransformerLayer(nn.Module):
             else:
                 seed = jnp.zeros((1,), jnp.int32)
             B, L, H = x.shape
-            ffn = fused_ffn(
-                x.reshape(B * L, H).astype(cfg.dtype),
-                w1, b1, w2, b2, seed, rate,
+            # attention_ln + FFN + output_ln + both residual adds fused:
+            # the glue LNs measured 11% of layer time as separate XLA
+            # passes over HBM (docs/STATUS.md round 3)
+            return fused_ffn_ln(
+                (x + attn).reshape(B * L, H).astype(cfg.dtype),
+                w1, b1, w2, b2, g1, be1, g2, be2, seed, rate,
+                cfg.layer_norm_eps,
                 on_cpu,  # interpret mode for simulated-mesh CPU tests
             ).reshape(B, L, H)
-        else:
-            ffn = nn.Dense(
-                cfg.intermediate_size, dtype=cfg.dtype, name="intermediate",
-                kernel_init=nn.initializers.normal(0.02),
-            )(x)
-            ffn = nn.gelu(ffn, approximate=False)
-            ffn = nn.Dense(
-                cfg.hidden_size, dtype=cfg.dtype, name="ffn_output",
-                kernel_init=nn.initializers.normal(0.02),
-            )(ffn)
-            ffn = nn.Dropout(cfg.hidden_dropout)(ffn, deterministic=deterministic)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="attention_ln"
+        )(x + attn)
+        ffn = nn.Dense(
+            cfg.intermediate_size, dtype=cfg.dtype, name="intermediate",
+            kernel_init=nn.initializers.normal(0.02),
+        )(x)
+        ffn = nn.gelu(ffn, approximate=False)
+        ffn = nn.Dense(
+            cfg.hidden_size, dtype=cfg.dtype, name="ffn_output",
+            kernel_init=nn.initializers.normal(0.02),
+        )(ffn)
+        ffn = nn.Dropout(cfg.hidden_dropout)(ffn, deterministic=deterministic)
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="output_ln"
         )(x + ffn)

@@ -106,10 +106,16 @@ def test_encoder_fused_ffn_param_tree_and_equivalence():
     o1 = m1.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
 
+    # sum(o^2) is DEGENERATE here: with output_ln at scale=1/bias=0 each
+    # row of o is normalized, so sum(o^2) == B*L*H is constant and every
+    # upstream gradient is analytically ~0 (pure cancellation noise). A
+    # random linear functional keeps all gradients well-defined.
+    w_loss = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+
     def loss(m):
         def f(p):
             o = m.apply({"params": p}, jnp.asarray(ids), jnp.asarray(mask))
-            return jnp.sum(o**2)
+            return jnp.sum(o * w_loss)
 
         return f
 
@@ -122,4 +128,48 @@ def test_encoder_fused_ffn_param_tree_and_equivalence():
         scale = max(1.0, float(jnp.abs(a).max()))
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5 * scale, err_msg=str(k0)
+        )
+
+
+def test_fused_ffn_ln_matches_composite_vjp_fp32():
+    """fused_ffn_ln vs LN1 -> FFN -> (+res) -> LN2 in plain jnp: fwd and
+    all nine cotangents (fp32, interpret mode)."""
+    from dpr_scale_tpu.ops.ffn import fused_ffn_ln
+
+    N, H, F = 200, 128, 256
+    rng = np.random.default_rng(3)
+    r, w1, b1, w2, b2, g = _mats(N, H, F, jnp.float32, seed=3)
+    g1 = jnp.asarray(rng.normal(size=(H,)) * 0.1 + 1.0, jnp.float32)
+    be1 = jnp.asarray(rng.normal(size=(H,)) * 0.05, jnp.float32)
+    g2 = jnp.asarray(rng.normal(size=(H,)) * 0.1 + 1.0, jnp.float32)
+    be2 = jnp.asarray(rng.normal(size=(H,)) * 0.05, jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    eps = 1e-12
+
+    def ln(v, sc, bi):
+        mu = v.mean(-1, keepdims=True)
+        var = (v * v).mean(-1, keepdims=True) - mu * mu
+        return (v - mu) * jax.lax.rsqrt(var + eps) * sc + bi
+
+    def ref(r, w1, b1, w2, b2, g1, be1, g2, be2):
+        x1 = ln(r, g1, be1)
+        z = jnp.dot(
+            jax.nn.gelu(jnp.dot(x1, w1) + b1, approximate=False), w2
+        ) + b2
+        return ln(x1 + z, g2, be2)
+
+    def fused(r, w1, b1, w2, b2, g1, be1, g2, be2):
+        return fused_ffn_ln(
+            r, w1, b1, w2, b2, g1, be1, g2, be2, seed, 0.0, eps, True
+        )
+
+    args = (r, w1, b1, w2, b2, g1, be1, g2, be2)
+    o0, vjp0 = jax.vjp(ref, *args)
+    o1, vjp1 = jax.vjp(fused, *args)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=2e-5)
+    names = ["dr", "dw1", "db1", "dw2", "db2", "dg1", "dbe1", "dg2", "dbe2"]
+    for name, a, b in zip(names, vjp0(g), vjp1(g)):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale, err_msg=name
         )

@@ -310,22 +310,38 @@ def main():
     log(f"eval: {metrics}")
 
     # ---------------- merge-overhead probe ----------------
+    # non-fatal: the probe rebuilds the whole device tier as ONE block,
+    # which only fits HBM if the 3-block tier's buffers are actually
+    # freed first — drop every reference, gc, and sync the device so the
+    # async deallocations land before the 9.7 GB allocation.
     if not os.environ.get("REH_SKIP_MERGE_PROBE"):
-        del index, dev_index, s_dev3
-        t0 = time.perf_counter()
-        one = MipsIndex(mesh, method="int8")
-        build_device_blocks(1, one, fold=False)
-        log(f"1-block rebuild done ({time.perf_counter() - t0:.1f}s)")
-        one.search(queries, k=K)
-        t0 = time.perf_counter()
-        one.search(queries, k=K)
-        t_dev1 = time.perf_counter() - t0
-        stages["t_sweep_device_1blk_s"] = round(t_dev1, 3)
-        stages["multiblock_merge_overhead_s"] = round(t_dev3 - t_dev1, 3)
-        stages["multiblock_merge_overhead_pct"] = round(
-            100.0 * (t_dev3 - t_dev1) / t_dev1, 1
-        )
-        log(f"1-block: {t_dev1:.3f}s; merge overhead {t_dev3 - t_dev1:+.3f}s")
+        try:
+            import gc
+
+            index._blocks.clear()
+            index._scales.clear()
+            dev_index._blocks.clear()
+            dev_index._scales.clear()
+            del index, dev_index, s_dev3
+            gc.collect()
+            float(jnp.zeros(()).sum())  # round-trip: flush deallocations
+            t0 = time.perf_counter()
+            one = MipsIndex(mesh, method="int8")
+            build_device_blocks(1, one, fold=False)
+            log(f"1-block rebuild done ({time.perf_counter() - t0:.1f}s)")
+            one.search(queries, k=K)
+            t0 = time.perf_counter()
+            one.search(queries, k=K)
+            t_dev1 = time.perf_counter() - t0
+            stages["t_sweep_device_1blk_s"] = round(t_dev1, 3)
+            stages["multiblock_merge_overhead_s"] = round(t_dev3 - t_dev1, 3)
+            stages["multiblock_merge_overhead_pct"] = round(
+                100.0 * (t_dev3 - t_dev1) / t_dev1, 1
+            )
+            log(f"1-block: {t_dev1:.3f}s; merge overhead {t_dev3 - t_dev1:+.3f}s")
+        except Exception as e:  # noqa: BLE001
+            stages["merge_probe_error"] = f"{type(e).__name__}: {e}"[:200]
+            log(f"merge probe failed (non-fatal): {e}")
 
     result = {
         "metric": f"rehearsal_{total // 1_000_000}M_int8_hybrid_top{K}_qps",

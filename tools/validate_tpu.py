@@ -134,8 +134,72 @@ def check_ffn():
         m = max(float(jnp.abs(a).max()), 1.0)
         grads[name] = round(d / m, 6)
         assert d < 0.01 * m, (name, d, m)
+
+    # LN-fused variant (attention_ln + FFN + output_ln in one kernel):
+    # dropout drop-fraction + fwd/bwd PRNG-stream consistency via a
+    # same-mask composite reference VJP
+    from dpr_scale_tpu.ops.ffn import fused_ffn_ln
+
+    eps = 1e-12
+    g1 = jnp.asarray(rng.normal(size=(H,)) * 0.1 + 1.0, jnp.float32)
+    be1 = jnp.asarray(rng.normal(size=(H,)) * 0.05, jnp.float32)
+    g2 = jnp.asarray(rng.normal(size=(H,)) * 0.1 + 1.0, jnp.float32)
+    be2 = jnp.asarray(rng.normal(size=(H,)) * 0.05, jnp.float32)
+
+    def ln(v, sc, bi):
+        mu = v.mean(-1, keepdims=True)
+        var = (v * v).mean(-1, keepdims=True) - mu * mu
+        return (v - mu) * jax.lax.rsqrt(var + eps) * sc + bi
+
+    y_ln = np.asarray(jax.jit(
+        lambda s: fused_ffn_ln(x, w1, b1, w2, b2, g1, be1, g2, be2, s, rate,
+                               eps)
+    )(s0))
+    # recover z's zero pattern: z = inverse-LN2 of y minus x1 has no
+    # closed zero test, so rerun at rate 0 and compare drop fraction via
+    # the PRE-LN2 z from a fresh direct call on the z-exposing impl
+    from dpr_scale_tpu.ops.ffn import _fwd_ln_impl
+
+    _out, x1_s, _pre, z_s = _fwd_ln_impl(
+        x, w1, b1, w2, b2, g1, be1, g2, be2, s0, rate, eps, False
+    )
+    z_np = np.asarray(z_s[: x.shape[0]])
+    frac_ln = float((z_np == 0.0).mean())
+    assert abs(frac_ln - rate) < 0.02, f"ln drop fraction {frac_ln}"
+    keep_ln = jnp.asarray(z_np != 0.0)
+
+    def ref_ln_masked(x, w1, b1, w2, b2, g1, be1, g2, be2):
+        x1 = ln(x, g1, be1)
+        z = jnp.dot(
+            jax.nn.gelu(jnp.dot(x1, w1) + b1, approximate=False), w2
+        ) + b2
+        z = jnp.where(keep_ln, z / (1.0 - rate), 0.0)
+        return ln(x1 + z, g2, be2)
+
+    def fused_ln_drop(x, w1, b1, w2, b2, g1, be1, g2, be2):
+        return fused_ffn_ln(x, w1, b1, w2, b2, g1, be1, g2, be2, s0, rate, eps)
+
+    args = (x, w1, b1, w2, b2, g1, be1, g2, be2)
+    o0, vjp0 = jax.vjp(ref_ln_masked, *args)
+    o1, vjp1 = jax.vjp(fused_ln_drop, *args)
+    assert float(jnp.abs(o0 - o1).max()) < 5e-3 * float(jnp.abs(o0).max())
+    assert float(jnp.abs(o1 - jnp.asarray(y_ln)).max()) == 0.0, (
+        "same seed must be deterministic"
+    )
+    ln_grads = {}
+    for name, a, b in zip(
+        ("dr", "dw1", "db1", "dw2", "db2", "dg1", "dbe1", "dg2", "dbe2"),
+        jax.jit(lambda: vjp0(g))(),
+        jax.jit(lambda: vjp1(g))(),
+    ):
+        d = float(jnp.abs(a - b).max())
+        m = max(float(jnp.abs(a).max()), 1.0)
+        ln_grads[name] = round(d / m, 6)
+        assert d < 0.01 * m, ("ln_" + name, d, m)
+
     return {"det_rel_err": round(det_err, 6), "drop_frac": round(frac, 4),
-            "slope": round(slope, 4), "vjp_rel": grads}
+            "slope": round(slope, 4), "vjp_rel": grads,
+            "ln_drop_frac": round(frac_ln, 4), "ln_vjp_rel": ln_grads}
 
 
 def _make_corpus(mesh, rows, dim=768):
