@@ -115,15 +115,19 @@ class MipsIndex:
         4x candidate oversampling); measured 36.8k QPS at recall@100
         0.994 on the 2.1M bench (random-normal corpus — a pessimistic
         recall proxy), unverified.
-      * ``"int8"``  — serving mode: per-row symmetric int8 corpus (half
-        the HBM of bf16) searched with an int8xint8->int32 MXU matmul
-        (2x the bf16 MACs/cycle on v5e), scores dequantized on the fly
-        into the same fused dot->approx_max_k pass. Measured 48-64k QPS
-        at recall@100 ~0.978 on the 2.1M bench (random-normal corpus,
-        pessimistic; the quantization ceiling there is ~0.982).
-        Unverified; returned scores carry the row-scale quantization
-        error (the reference's dynamic-int8 export trades accuracy the
-        same way, dpr_task.py:324-368).
+      * ``"int8"``  — serving mode: column-equalized per-row symmetric
+        int8 corpus (half the HBM of bf16) searched with an
+        int8xint8->int32 MXU matmul (2x the bf16 MACs/cycle on v5e),
+        scores dequantized on the fly into the same fused
+        dot->approx_max_k pass; the per-column equalization scale folds
+        into the query (see __init__). Measured 48-64k QPS at recall@100
+        ~0.978 on the 2.1M random-normal bench; trained-encoder
+        embeddings (anisotropic, clustered) measure 0.955@100 at 131k
+        rows with equalization vs 0.931 without — the random proxy is
+        OPTIMISTIC for int8 (docs/STATUS.md round 3). Unverified;
+        returned scores carry the quantization error (the reference's
+        dynamic-int8 export trades accuracy the same way,
+        dpr_task.py:324-368).
       * ``"exact_sort"`` — sort-based ``lax.top_k`` per chunk; slow,
         reference semantics for tests.
     """
@@ -155,8 +159,31 @@ class MipsIndex:
         self._blocks: List[Tuple[object, object, int, int]] = []
         # (embeddings (C_pad, D) sharded or host np, valid (C_pad, 1), n_valid, offset)
         self._scales: List[Optional[jax.Array]] = []  # int8 per-row scales
+        # int8 per-COLUMN equalization scales (D,), one per block: trained
+        # encoder embeddings are anisotropic (column ranges differ wildly),
+        # and per-row max-abs alone wastes int8 resolution on the narrow
+        # columns. x ~= q8 * row_scale * col_scale, and col_scale folds
+        # into the QUERY before its own quantization (score = row_scale *
+        # (q*col_scale).q8) so the int8xint8 MXU sweep is unchanged.
+        # Measured on 131k trained-encoder embeddings: recall@100
+        # 0.9315 -> 0.9551; neutral on the isotropic random proxy.
+        self._colscales: List[Optional[jax.Array]] = []
         self._total_rows = 0
         self._dim: Optional[int] = None
+
+    # int8 candidate-pool depth (kc = int8_oversample * k per device)
+    int8_oversample = 8
+
+    @staticmethod
+    def _quantize_int8_host(emb: np.ndarray):
+        """Column-equalized per-row symmetric int8: (q8, row_sc, col_sc)."""
+        col = np.abs(emb).max(axis=0)
+        col[col == 0.0] = 1.0
+        x = emb / col[None, :]
+        sc = np.abs(x).max(axis=1) / 127.0
+        sc[sc == 0.0] = 1.0
+        q8 = np.clip(np.rint(x / sc[:, None]), -127, 127).astype(np.int8)
+        return q8, sc.astype(np.float32), col.astype(np.float32)
 
     # ------------------------------------------------------------------ #
 
@@ -185,42 +212,45 @@ class MipsIndex:
             # tunneled deployment means a pathological download); upload
             # happens per search call, pipelined against compute
             if self.method == "int8":
-                sc = np.abs(emb).max(axis=1) / 127.0
-                sc[sc == 0.0] = 1.0
-                q8 = np.clip(np.rint(emb / sc[:, None]), -127, 127).astype(np.int8)
+                q8, sc, col = self._quantize_int8_host(emb)
                 self._blocks.append((q8, valid, n, self._total_rows))
-                self._scales.append(sc.astype(np.float32))
+                self._scales.append(sc)
+                self._colscales.append(col)
                 self._total_rows += n
                 return
             host_emb = np.ascontiguousarray(emb.astype(np.dtype(self.dtype)))
             self._blocks.append((host_emb, valid, n, self._total_rows))
             self._scales.append(None)
+            self._colscales.append(None)
             self._total_rows += n
             return
         row_sharded = NamedSharding(self.mesh, P("data", None))
         if self.method == "int8":
-            # per-row symmetric quantization ON HOST (no device round-trip):
-            # scale_r = max|row|/127, q = round(row/scale_r). Pad rows get
+            # column-equalized per-row symmetric quantization ON HOST (no
+            # device round-trip — see _quantize_int8_host). Pad rows get
             # scale 1 so their scores stay exactly 0.
-            sc = np.abs(emb).max(axis=1) / 127.0
-            sc[sc == 0.0] = 1.0
-            q8 = np.clip(np.rint(emb / sc[:, None]), -127, 127).astype(np.int8)
+            q8, sc, col = self._quantize_int8_host(emb)
             emb_dev = jax.device_put(jnp.asarray(q8), row_sharded)
             sc_dev = jax.device_put(
                 jnp.asarray(sc, jnp.float32), NamedSharding(self.mesh, P("data"))
             )
+            col_dev = jax.device_put(
+                jnp.asarray(col, jnp.float32), NamedSharding(self.mesh, P(None))
+            )
             valid_dev = jax.device_put(jnp.asarray(valid), row_sharded)
             self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
             self._scales.append(sc_dev)
+            self._colscales.append(col_dev)
             self._total_rows += n
             return
         emb_dev = jax.device_put(jnp.asarray(emb, self.dtype), row_sharded)
         valid_dev = jax.device_put(jnp.asarray(valid), row_sharded)
         self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
         self._scales.append(None)
+        self._colscales.append(None)
         self._total_rows += n
 
-    def _materialize(self, emb, valid, scales=None):
+    def _materialize(self, emb, valid, scales=None, col=None):
         """Host-resident blocks stream through the device on demand."""
         if isinstance(emb, np.ndarray):
             row_sharded = NamedSharding(self.mesh, P("data", None))
@@ -230,7 +260,11 @@ class MipsIndex:
                 scales = jax.device_put(
                     jnp.asarray(scales), NamedSharding(self.mesh, P("data"))
                 )
-        return emb, valid, scales
+            if col is not None and isinstance(col, np.ndarray):
+                col = jax.device_put(
+                    jnp.asarray(col), NamedSharding(self.mesh, P(None))
+                )
+        return emb, valid, scales, col
 
     def add_device(self, emb_dev: jax.Array, n_valid: Optional[int] = None) -> None:
         """Add an already device-resident, row-sharded (N_pad, D) block
@@ -254,31 +288,43 @@ class MipsIndex:
             )(emb_dev, valid_dev)
         if self.method == "int8":
             # quantize in place on device (same math as add(); row scales
-            # stay sharded alongside the rows)
+            # stay sharded alongside the rows, the column-equalization
+            # scale replicates — its max is a cross-device psum)
             def _quant(e):  # noqa: E306
-                sc = jnp.max(jnp.abs(e.astype(jnp.float32)), axis=1) / 127.0
+                ef = e.astype(jnp.float32)
+                col = jnp.max(jnp.abs(ef), axis=0)
+                col = jnp.where(col == 0.0, 1.0, col)
+                x = ef / col[None, :]
+                sc = jnp.max(jnp.abs(x), axis=1) / 127.0
                 sc = jnp.where(sc == 0.0, 1.0, sc)
                 q8 = jnp.clip(
-                    jnp.rint(e.astype(jnp.float32) / sc[:, None]), -127, 127
+                    jnp.rint(x / sc[:, None]), -127, 127
                 ).astype(jnp.int8)
-                return q8, sc
+                return q8, sc, col
 
-            emb_dev, sc_dev = jax.jit(
+            emb_dev, sc_dev, col_dev = jax.jit(
                 _quant,
-                out_shardings=(row_sharded, NamedSharding(self.mesh, P("data"))),
+                out_shardings=(
+                    row_sharded,
+                    NamedSharding(self.mesh, P("data")),
+                    NamedSharding(self.mesh, P(None)),
+                ),
             )(emb_dev)
             self._scales.append(sc_dev)
+            self._colscales.append(col_dev)
         else:
             self._scales.append(None)
+            self._colscales.append(None)
         self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
         self._total_rows += n
 
     def add_device_quantized(
         self, q8_dev: jax.Array, scales_dev: jax.Array,
-        n_valid: Optional[int] = None,
+        n_valid: Optional[int] = None, col_scales=None,
     ) -> None:
         """int8 mode only: add an already-quantized row-sharded block
-        (per-row symmetric, scale = max|row|/127 as in :meth:`add`).
+        (per-row symmetric, scale = max|row|/127 as in :meth:`add`;
+        optional per-column equalization scales, default all-ones).
         Lets callers quantize in chunks when the unquantized block would
         not fit HBM (e.g. >10M x 768 corpora on a 16 GB chip)."""
         assert self.method == "int8"
@@ -295,10 +341,16 @@ class MipsIndex:
              self._total_rows)
         )
         self._scales.append(scales_dev)
+        if col_scales is None:
+            col_scales = jax.device_put(
+                jnp.ones((d,), jnp.float32), NamedSharding(self.mesh, P(None))
+            )
+        self._colscales.append(col_scales)
         self._total_rows += n
 
     def add_host_quantized(
-        self, q8: np.ndarray, scales: np.ndarray, n_valid: Optional[int] = None
+        self, q8: np.ndarray, scales: np.ndarray,
+        n_valid: Optional[int] = None, col_scales: Optional[np.ndarray] = None,
     ) -> None:
         """int8 mode only: add an already-quantized HOST-resident block
         that streams through the device at search time.
@@ -323,6 +375,10 @@ class MipsIndex:
         valid[:n] = True
         self._blocks.append((np.ascontiguousarray(q8), valid, n, self._total_rows))
         self._scales.append(scales.astype(np.float32))
+        self._colscales.append(
+            np.ones((d,), np.float32) if col_scales is None
+            else col_scales.astype(np.float32)
+        )
         self._total_rows += n
 
     @property
@@ -695,16 +751,24 @@ class MipsIndex:
     # the int32 nor the fp32 score matrix reaches HBM). The int8 MXU path
     # doubles MACs/cycle vs bf16 on v5e and halves corpus HBM.
 
-    def _int8_search_impl(self, emb, scales, q, k, n_valid):
+    def _int8_search_impl(self, emb, scales, q, k, n_valid, col=None):
         """Traceable approx search over an int8 block. Returns dequantized
-        (scores (B, k), global indices (B, k))."""
+        (scores (B, k), global indices (B, k)). ``col`` is the block's
+        per-column equalization scale — it folds into the query here, so
+        the int8xint8 sweep itself is unchanged."""
         from jax import shard_map
 
         n_pad, _D = emb.shape
         rows_local = n_pad // self.ndev
         # deeper candidate pool than the verified pipelines: recall has no
-        # second chance here (see _approx_search_impl)
-        kc = min(max(4 * k, FUSED_KC), rows_local)
+        # second chance here (see _approx_search_impl). int8_oversample=8
+        # (vs the 4x round-2 default) is ~free insurance — the pool cost
+        # is one approx_max_k width, dwarfed by the corpus sweep; at
+        # 131k/1-dev it measured recall-neutral (the residual loss is
+        # corpus-side quantization, not pool truncation).
+        kc = min(max(self.int8_oversample * k, FUSED_KC), rows_local)
+        if col is not None:
+            q = q * col[None, :]
         # per-query symmetric quantization (replicated, tiny)
         qsc = jnp.max(jnp.abs(q), axis=1) / 127.0
         qsc = jnp.where(qsc == 0.0, 1.0, qsc)
@@ -729,8 +793,8 @@ class MipsIndex:
         return fs, fi
 
     @functools.partial(jax.jit, static_argnums=(0, 4, 5))
-    def _int8_search(self, emb, scales, q, k, n_valid):
-        return self._int8_search_impl(emb, scales, q, k, n_valid)
+    def _int8_search(self, emb, scales, q, k, n_valid, col=None):
+        return self._int8_search_impl(emb, scales, q, k, n_valid, col)
 
     # ------------------------------------------------------------------ #
     # groupmax pipeline (method="groupmax"): ONE matmul-bound sweep that
@@ -875,7 +939,7 @@ class MipsIndex:
                     s, i, fail = self._fused_search_impl(emb, q, k, _n)
                 elif self.method == "int8":
                     s, i = self._int8_search_impl(
-                        emb, self._scales[0], q, k, _n
+                        emb, self._scales[0], q, k, _n, self._colscales[0]
                     )
                     fail = jnp.zeros((q.shape[0],), bool)  # unverified mode
                 elif self.method == "approx":
@@ -975,11 +1039,11 @@ class MipsIndex:
         return np.concatenate(out_s), np.concatenate(out_i)
 
     def _search_block(
-        self, emb, valid, queries, k, n_valid=None, scales=None
+        self, emb, valid, queries, k, n_valid=None, scales=None, col=None
     ) -> Tuple[np.ndarray, np.ndarray]:
         if self.method == "int8":
             n = int(n_valid) if n_valid is not None else emb.shape[0]
-            s, i = self._int8_search(emb, scales, queries, k, n)
+            s, i = self._int8_search(emb, scales, queries, k, n, col)
             return np.asarray(s), np.asarray(i)
         if self.method in ("groupmax", "fused"):
             n = int(n_valid) if n_valid is not None else emb.shape[0]
@@ -1027,17 +1091,21 @@ class MipsIndex:
         per_block_s, per_block_i = [], []
         # host-resident mode: pipeline the next block's host->device upload
         # against the current block's search (device_put is async)
-        next_dev = self._materialize(*self._blocks[0][:2], self._scales[0])
+        next_dev = self._materialize(
+            *self._blocks[0][:2], self._scales[0], self._colscales[0]
+        )
         for bi, (emb, valid, _n, offset) in enumerate(self._blocks):
             # never ask a block for more rows than every device holds
             k_block = min(k_eff, emb.shape[0] // self.ndev)
-            emb_d, valid_d, scales_d = next_dev
+            emb_d, valid_d, scales_d, col_d = next_dev
             if bi + 1 < len(self._blocks):
                 next_dev = self._materialize(
-                    *self._blocks[bi + 1][:2], self._scales[bi + 1]
+                    *self._blocks[bi + 1][:2], self._scales[bi + 1],
+                    self._colscales[bi + 1]
                 )
             s, i = self._search_block(
-                emb_d, valid_d, q, k_block, n_valid=_n, scales=scales_d
+                emb_d, valid_d, q, k_block, n_valid=_n, scales=scales_d,
+                col=col_d,
             )
             del emb_d, valid_d  # host-resident mode: free HBM before next block
             i = i.astype(np.int64) + offset

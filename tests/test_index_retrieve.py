@@ -469,12 +469,17 @@ def test_groupmax_selection_miss_falls_back(monkeypatch):
 
 
 def _grid_embeddings(rng, n, d):
-    """Rows exactly representable under per-row symmetric int8: int8-grid
-    integers times a per-row scale, with one entry pinned to +127 so the
-    quantizer's scale = the generating scale and recovery is lossless."""
+    """Rows exactly representable under column-equalized per-row
+    symmetric int8: int8-grid integers times a per-row scale, one entry
+    pinned to +127 per row (quantizer row scale = generating scale), and
+    row 0 pinned to all-(127 * max_scale) so every COLUMN shares the same
+    max — the column-equalization scale is then uniform and recovery
+    stays lossless."""
     ints = rng.integers(-127, 128, size=(n, d)).astype(np.float32)
     ints[np.arange(n), rng.integers(0, d, size=n)] = 127.0
     scales = rng.uniform(0.005, 0.05, size=(n, 1)).astype(np.float32)
+    ints[0] = 127.0
+    scales[0] = scales.max()
     return ints * scales
 
 
@@ -559,12 +564,13 @@ def test_int8_add_device_quantized_matches_add():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     row_sharded = NamedSharding(mesh, P("data", None))
-    sc = np.abs(corpus).max(axis=1) / 127.0
-    sc[sc == 0] = 1.0
-    q8 = np.clip(np.rint(corpus / sc[:, None]), -127, 127).astype(np.int8)
+    q8, sc, col = MipsIndex._quantize_int8_host(corpus)
     b.add_device_quantized(
         jax.device_put(jnp.asarray(q8), row_sharded),
         jax.device_put(jnp.asarray(sc, jnp.float32), NamedSharding(mesh, P("data"))),
+        col_scales=jax.device_put(
+            jnp.asarray(col, jnp.float32), NamedSharding(mesh, P(None))
+        ),
     )
     sa, ia = a.search(queries, k=7)
     sb, ib = b.search(queries, k=7)

@@ -245,6 +245,7 @@ def main():
     dev_index = MipsIndex(mesh, method="int8")
     dev_index._blocks = index._blocks[:n_dev_blocks]
     dev_index._scales = index._scales[:n_dev_blocks]
+    dev_index._colscales = index._colscales[:n_dev_blocks]
     dev_index._total_rows = rows_dev
     dev_index._dim = DIM
 
@@ -320,8 +321,10 @@ def main():
 
             index._blocks.clear()
             index._scales.clear()
+            index._colscales.clear()
             dev_index._blocks.clear()
             dev_index._scales.clear()
+            dev_index._colscales.clear()
             del index, dev_index, s_dev3
             gc.collect()
             float(jnp.zeros(()).sum())  # round-trip: flush deallocations
