@@ -173,3 +173,53 @@ def test_fused_ffn_ln_matches_composite_vjp_fp32():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-5 * scale, err_msg=name
         )
+
+
+def test_fused_kernels_mesh_parity():
+    """mesh(8) == mesh(1) after real train steps with fused_attention AND
+    fused_ffn on (interpret-mode Pallas under GSPMD — repo convention:
+    every sharded code path gets a simulated-mesh test). Deterministic
+    (tiny cfg has zero dropout), so the fused paths stay active on CPU."""
+    from dpr_scale_tpu.optim import make_optimizer
+    from dpr_scale_tpu.parallel import get_mesh
+    from dpr_scale_tpu.train import DenseRetrieverTask
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(), dtype=jnp.float32,
+        fused_attention=True, fused_ffn=True,
+    )
+    rng = np.random.default_rng(5)
+    B, C, L = 8, 2, 8
+    mk = lambda n: rng.integers(5, 32, size=(n, L)).astype(np.int32)
+    batch = {
+        "query_ids": mk(B),
+        "query_mask": np.ones((B, L), np.int32),
+        "contexts_ids": mk(B * C),
+        "contexts_mask": np.ones((B * C, L), np.int32),
+        "pos_ctx_indices": (np.arange(B) * C).astype(np.int32),
+        "scores": np.zeros((B, C), np.float32),
+        "ctx_mask": np.zeros((B * C,), bool),
+    }
+
+    states, losses = [], []
+    for ndev in (8, 1):
+        task = DenseRetrieverTask(
+            cfg=cfg,
+            optimizer=make_optimizer("adamw", 1e-3, grad_clip_norm=2.0),
+            mesh=get_mesh(ndev),
+        )
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        step = task.make_train_step()
+        for _ in range(2):
+            state, m = step(state, task.shard(batch))
+        states.append(state)
+        losses.append(float(m["train_loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
+    flat8 = jax.tree_util.tree_leaves_with_path(states[0].params)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(states[1].params))
+    for path, leaf8 in flat8:
+        np.testing.assert_allclose(
+            np.asarray(leaf8), np.asarray(flat1[path]),
+            rtol=3e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
