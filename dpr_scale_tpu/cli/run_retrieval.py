@@ -78,6 +78,7 @@ def main(argv=None):
         ignore_identical_ids=cfg.task.get("ignore_identical_ids", False),
         host_resident=cfg.task.get("host_resident_index", False),
         method=cfg.task.get("mips_method", "fused"),
+        int8_query_planes=cfg.task.get("int8_query_planes", 1),
     )
     print(f"Retrieved top-{cfg.task.get('topk', 100)} for {len(results)} questions")
     if cfg.task.get("output_path"):

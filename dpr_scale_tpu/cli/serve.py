@@ -58,6 +58,10 @@ def main(argv=None):
         host_resident=cfg.task.get("host_resident_index", False),
         method=method,
     )
+    # serve.int8_query_planes=2: int16-precision queries over the int8
+    # corpus (recovers the query-side quantization recall loss at 2x
+    # query MACs; corpus HBM/stream unchanged)
+    index.int8_query_planes = int(s.get("int8_query_planes", 1))
     passages = CSVDataset(cfg.datamodule["passages_path"])
 
     retriever = Retriever(

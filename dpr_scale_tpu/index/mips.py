@@ -173,6 +173,10 @@ class MipsIndex:
 
     # int8 candidate-pool depth (kc = int8_oversample * k per device)
     int8_oversample = 8
+    # 2 = int16-precision queries via two int8 planes (opt-in; see
+    # _int8_search_impl) — corpus stays int8, query-side quantization
+    # loss disappears
+    int8_query_planes = 1
 
     @staticmethod
     def _quantize_int8_host(emb: np.ndarray):
@@ -772,11 +776,27 @@ class MipsIndex:
         # per-query symmetric quantization (replicated, tiny)
         qsc = jnp.max(jnp.abs(q), axis=1) / 127.0
         qsc = jnp.where(qsc == 0.0, 1.0, qsc)
-        q8 = jnp.clip(jnp.rint(q / qsc[:, None]), -127, 127).astype(jnp.int8)
+        qn = q / qsc[:, None]
+        hi = jnp.clip(jnp.rint(qn), -127, 127)
+        if self.int8_query_planes == 2:
+            # int16-precision query via a second int8 plane holding the
+            # hi-plane's rounding residual (x127): recovers the query-side
+            # quantization loss (131k trained-encoder corpus: recall@100
+            # 0.947 -> 0.955 numpy) at 2x query MACs — the corpus stream,
+            # which dominates at small B, is unchanged (the planes ride
+            # ONE (2B, D) int8 matmul).
+            lo = jnp.clip(jnp.rint((qn - hi) * 127.0), -127, 127)
+            q8 = jnp.concatenate([hi, lo]).astype(jnp.int8)
+        else:
+            q8 = hi.astype(jnp.int8)
 
         def local_approx(emb_l, sc_l, q8, qsc):
             s32 = jnp.dot(q8, emb_l.T, preferred_element_type=jnp.int32)
-            s = s32.astype(jnp.float32) * sc_l[None, :] * qsc[:, None]
+            sf = s32.astype(jnp.float32)
+            if self.int8_query_planes == 2:
+                B = qsc.shape[0]
+                sf = sf[:B] + sf[B:] * (1.0 / 127.0)
+            s = sf * sc_l[None, :] * qsc[:, None]
             ts, ti = jax.lax.approx_max_k(s, kc)
             shard = jax.lax.axis_index("data")
             return ts, ti + shard * rows_local

@@ -83,12 +83,14 @@ def retrieve(
     index: Optional[MipsIndex] = None,
     host_resident: bool = False,
     method: str = "fused",
+    int8_query_planes: int = 1,
 ) -> List[List[Dict]]:
     """Returns per-question context lists; optionally writes output files."""
     if index is None:
         index = build_index(
             ctx_embeddings_dir, mesh, host_resident=host_resident, method=method
         )
+        index.int8_query_planes = int(int8_query_planes)
     passages = CSVDataset(passages_path)
 
     all_scores, all_indices = [], []

@@ -593,3 +593,32 @@ def test_int8_host_resident_matches_device():
     sh, ih = host.search(queries, k=9)
     np.testing.assert_array_equal(idd, ih)
     np.testing.assert_allclose(sd, sh, rtol=1e-6)
+
+
+def test_int8_two_plane_queries_beat_one_plane():
+    """int8_query_planes=2 (int16-precision queries over the int8 corpus)
+    must not lose to the 1-plane path, and should recover query-side
+    quantization error on an anisotropic corpus."""
+    rng = np.random.default_rng(35)
+    # anisotropic: per-column ranges span 100x (trained-encoder-like)
+    col_spread = np.exp(rng.uniform(-2.5, 2.5, size=64)).astype(np.float32)
+    corpus = (rng.normal(size=(4096, 64)) * col_spread[None, :]).astype(
+        np.float32
+    )
+    queries = (rng.normal(size=(32, 64)) * col_spread[None, :]).astype(
+        np.float32
+    )
+    es, ei = _np_topk(corpus, queries, 10)
+
+    def run(planes):
+        index = MipsIndex(get_mesh(8), method="int8")
+        index.int8_query_planes = planes
+        index.add(corpus)
+        s, i = index.search(queries, k=10)
+        return np.mean(
+            [len(set(a) & set(b)) / 10.0 for a, b in zip(i, ei)]
+        )
+
+    r1, r2 = run(1), run(2)
+    assert r2 >= r1, (r1, r2)
+    assert r2 >= 0.9, r2
