@@ -755,12 +755,15 @@ class MipsIndex:
     # the int32 nor the fp32 score matrix reaches HBM). The int8 MXU path
     # doubles MACs/cycle vs bf16 on v5e and halves corpus HBM.
 
-    def _int8_search_impl(self, emb, scales, q, k, n_valid, col=None):
+    def _int8_search_impl(self, emb, scales, q, k, n_valid, col=None, planes=None):
         """Traceable approx search over an int8 block. Returns dequantized
         (scores (B, k), global indices (B, k)). ``col`` is the block's
         per-column equalization scale — it folds into the query here, so
         the int8xint8 sweep itself is unchanged."""
         from jax import shard_map
+
+        if planes is None:
+            planes = self.int8_query_planes
 
         n_pad, _D = emb.shape
         rows_local = n_pad // self.ndev
@@ -778,7 +781,7 @@ class MipsIndex:
         qsc = jnp.where(qsc == 0.0, 1.0, qsc)
         qn = q / qsc[:, None]
         hi = jnp.clip(jnp.rint(qn), -127, 127)
-        if self.int8_query_planes == 2:
+        if planes == 2:
             # int16-precision query via a second int8 plane holding the
             # hi-plane's rounding residual (x127): recovers the query-side
             # quantization loss (131k trained-encoder corpus: recall@100
@@ -793,7 +796,7 @@ class MipsIndex:
         def local_approx(emb_l, sc_l, q8, qsc):
             s32 = jnp.dot(q8, emb_l.T, preferred_element_type=jnp.int32)
             sf = s32.astype(jnp.float32)
-            if self.int8_query_planes == 2:
+            if planes == 2:
                 B = qsc.shape[0]
                 sf = sf[:B] + sf[B:] * (1.0 / 127.0)
             s = sf * sc_l[None, :] * qsc[:, None]
@@ -812,9 +815,13 @@ class MipsIndex:
         fi = jnp.take_along_axis(cand_i, fpos, axis=1)
         return fs, fi
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
-    def _int8_search(self, emb, scales, q, k, n_valid, col=None):
-        return self._int8_search_impl(emb, scales, q, k, n_valid, col)
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 7))
+    def _int8_search(self, emb, scales, q, k, n_valid, col=None, planes=1):
+        # ``planes`` is an explicit static arg (NOT read off ``self``, which
+        # jit hashes by identity): mutating ``index.int8_query_planes``
+        # between searches must recompile, not silently reuse the old
+        # program.
+        return self._int8_search_impl(emb, scales, q, k, n_valid, col, planes)
 
     # ------------------------------------------------------------------ #
     # groupmax pipeline (method="groupmax"): ONE matmul-bound sweep that
@@ -1063,7 +1070,9 @@ class MipsIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         if self.method == "int8":
             n = int(n_valid) if n_valid is not None else emb.shape[0]
-            s, i = self._int8_search(emb, scales, queries, k, n, col)
+            s, i = self._int8_search(
+                emb, scales, queries, k, n, col, int(self.int8_query_planes)
+            )
             return np.asarray(s), np.asarray(i)
         if self.method in ("groupmax", "fused"):
             n = int(n_valid) if n_valid is not None else emb.shape[0]

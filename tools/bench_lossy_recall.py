@@ -157,14 +157,28 @@ def measure(tag, corpus, queries, results):
     )
     results[f"{tag}_margin_p10"] = round(float(np.percentile(margin, 10)), 5)
     results[f"{tag}_margin_p50"] = round(float(np.percentile(margin, 50)), 5)
-    for method in ("int8", "approx"):
-        _s, i_m = build(method).search(queries, k=100)
-        rec = float(
-            np.mean(
-                [len(set(a) & set(b[:100])) / 100.0 for a, b in zip(i_m, i_e)]
-            )
+    def recall(i_m):
+        return round(
+            float(
+                np.mean(
+                    [
+                        len(set(a) & set(b[:100])) / 100.0
+                        for a, b in zip(i_m, i_e)
+                    ]
+                )
+            ),
+            4,
         )
-        results[f"{tag}_{method}_recall@100"] = round(rec, 4)
+
+    for method in ("int8", "approx"):
+        ix = build(method)
+        _s, i_m = ix.search(queries, k=100)
+        results[f"{tag}_{method}_recall@100"] = recall(i_m)
+        if method == "int8":
+            # int16-precision queries (two int8 planes, same corpus bytes)
+            ix.int8_query_planes = 2
+            _s, i_m2 = ix.search(queries, k=100)
+            results[f"{tag}_int8p2_recall@100"] = recall(i_m2)
 
 
 def main():
