@@ -79,6 +79,8 @@ def main(argv=None):
         host_resident=cfg.task.get("host_resident_index", False),
         method=cfg.task.get("mips_method", "fused"),
         int8_query_planes=cfg.task.get("int8_query_planes", 1),
+        index_store=cfg.task.get("index_store"),
+        device_rows=cfg.task.get("device_rows"),
     )
     print(f"Retrieved top-{cfg.task.get('topk', 100)} for {len(results)} questions")
     if cfg.task.get("output_path"):

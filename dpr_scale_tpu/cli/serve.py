@@ -51,12 +51,18 @@ def main(argv=None):
         "exact_sort",
         "int8",
     ), f"unknown serve.method {method!r}"
-    # int8 quantizes at add() time, so the method must be set at build
+    # int8 quantizes at add() time, so the method must be set at build.
+    # serve.index_store: prequantized int8 store dir (built on first
+    # start, mmap-loaded afterwards — cold starts skip the fp32 pickle
+    # read + requantization); serve.device_rows caps the HBM tier for
+    # hybrid >HBM serving.
     index = build_index(
         cfg.task["ctx_embeddings_dir"],
         task.mesh,
         host_resident=cfg.task.get("host_resident_index", False),
         method=method,
+        index_store=s.get("index_store"),
+        device_rows=s.get("device_rows"),
     )
     # serve.int8_query_planes=2: int16-precision queries over the int8
     # corpus (recovers the query-side quantization recall loss at 2x

@@ -47,18 +47,43 @@ def build_index(
     max_block_rows: int = 2_000_000,
     host_resident: bool = False,
     method: str = "fused",
+    index_store: Optional[str] = None,
+    device_rows: Optional[int] = None,
 ) -> MipsIndex:
     """Load every reps_* shard into one MipsIndex (global row order =
     shard order = corpus order, as the reference relies on,
     run_retrieval.py:48-57). ``host_resident`` streams blocks from host
     RAM for corpora larger than total HBM. ``method`` must be passed at
-    build time for ``"int8"`` (blocks quantize on add)."""
+    build time for ``"int8"`` (blocks quantize on add).
+
+    ``index_store`` (int8 only): directory holding the prequantized
+    store (see index/store.py). A current store is loaded directly —
+    no fp32 pickle read, no requantization, host tiers mmap'd; a stale
+    or absent store is (re)built from the shards first. ``device_rows``
+    optionally caps the HBM-resident tier; the rest streams from host
+    (hybrid >HBM layout)."""
     import jax.numpy as jnp
 
     index = MipsIndex(
         mesh, dtype=dtype or jnp.bfloat16, host_resident=host_resident,
         method=method,
     )
+    if index_store is not None:
+        if method != "int8":
+            raise ValueError("index_store requires mips_method=int8")
+        from dpr_scale_tpu.index.store import (
+            build_int8_store,
+            load_int8_store,
+            store_is_current,
+        )
+
+        if not store_is_current(index_store, ctx_embeddings_dir):
+            print(f"Building int8 index store at {index_store}")
+            build_int8_store(
+                ctx_embeddings_dir, index_store, max_block_rows=max_block_rows
+            )
+        load_int8_store(index, index_store, device_rows=device_rows)
+        return index
     shards = load_embedding_shards(ctx_embeddings_dir)
     if not shards:
         raise FileNotFoundError(f"no reps_* shards in {ctx_embeddings_dir}")
@@ -84,11 +109,14 @@ def retrieve(
     host_resident: bool = False,
     method: str = "fused",
     int8_query_planes: int = 1,
+    index_store: Optional[str] = None,
+    device_rows: Optional[int] = None,
 ) -> List[List[Dict]]:
     """Returns per-question context lists; optionally writes output files."""
     if index is None:
         index = build_index(
-            ctx_embeddings_dir, mesh, host_resident=host_resident, method=method
+            ctx_embeddings_dir, mesh, host_resident=host_resident, method=method,
+            index_store=index_store, device_rows=device_rows,
         )
         index.int8_query_planes = int(int8_query_planes)
     passages = CSVDataset(passages_path)

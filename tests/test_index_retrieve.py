@@ -627,3 +627,116 @@ def test_int8_two_plane_queries_beat_one_plane():
     r1, r2 = run(1), run(2)
     assert r2 > r1, (r1, r2)
     assert r2 >= 0.9, r2
+
+
+# ---------------------------------------------------------------------- #
+# prequantized int8 index store (index/store.py)
+
+
+def _store_fixture(tmp_path, n_shards=3, rows=900, d=32, seed=11):
+    from dpr_scale_tpu.encode.embeddings import save_embedding_shard
+
+    rng = np.random.default_rng(seed)
+    emb_dir = tmp_path / "embs"
+    emb_dir.mkdir()
+    shards = []
+    for s in range(n_shards):
+        emb = rng.normal(size=(rows, d)).astype(np.float32)
+        save_embedding_shard(str(emb_dir / f"reps_{s:04}"), emb, "pickle")
+        shards.append(emb)
+    return str(emb_dir), np.concatenate(shards)
+
+
+def test_int8_store_roundtrip_matches_direct_add(tmp_path):
+    from dpr_scale_tpu.index import build_int8_store, load_int8_store, store_is_current
+    from dpr_scale_tpu.retrieve.retrieval import build_index
+
+    emb_dir, corpus = _store_fixture(tmp_path)
+    store = str(tmp_path / "store")
+    assert not store_is_current(store, emb_dir)
+    manifest = build_int8_store(
+        emb_dir, store, max_block_rows=1024, pad_multiple=1024
+    )
+    # 2700 rows re-chunked at 1024: blocks preserve corpus order + count
+    assert [b["n_valid"] for b in manifest["blocks"]] == [1024, 1024, 652]
+    assert store_is_current(store, emb_dir)
+
+    mesh = get_mesh(8)
+    direct = MipsIndex(mesh, method="int8")
+    # same block structure as the store (quantization is per-block:
+    # col/row scales and rounding noise differ across block layouts)
+    for lo in range(0, corpus.shape[0], 1024):
+        direct.add(corpus[lo : lo + 1024])
+    queries = np.asarray(corpus[200:232] + 0.01, np.float32)
+    sd, idd = direct.search(queries, k=10)
+
+    loaded = MipsIndex(mesh, method="int8")
+    load_int8_store(loaded, store)
+    assert loaded.num_rows == corpus.shape[0]
+    sl, il = loaded.search(queries, k=10)
+    np.testing.assert_array_equal(idd, il)
+    np.testing.assert_allclose(sd, sl, rtol=1e-5)
+
+
+def test_int8_store_staleness_detection(tmp_path):
+    from dpr_scale_tpu.index import build_int8_store, store_is_current
+
+    emb_dir, _ = _store_fixture(tmp_path)
+    store = str(tmp_path / "store")
+    build_int8_store(emb_dir, store, pad_multiple=1024)
+    assert store_is_current(store, emb_dir)
+    # touching a shard (mtime/size change) must invalidate the store
+    shard = os.path.join(emb_dir, "reps_0001.pkl")
+    with open(shard, "ab") as f:
+        f.write(b" ")
+    assert not store_is_current(store, emb_dir)
+
+
+def test_int8_store_hybrid_device_host_tiers(tmp_path):
+    """device_rows budget splits blocks into an HBM tier + a host-mmap
+    tier; search over the hybrid must equal the all-device result."""
+    from dpr_scale_tpu.index import build_int8_store, load_int8_store
+
+    emb_dir, corpus = _store_fixture(tmp_path)
+    store = str(tmp_path / "store")
+    build_int8_store(emb_dir, store, max_block_rows=1024, pad_multiple=1024)
+    mesh = get_mesh(8)
+    queries = np.asarray(corpus[5:21] - 0.02, np.float32)
+
+    all_dev = MipsIndex(mesh, method="int8")
+    load_int8_store(all_dev, store)
+    s0, i0 = all_dev.search(queries, k=7)
+
+    hybrid = MipsIndex(mesh, method="int8")
+    load_int8_store(hybrid, store, device_rows=1024)  # 1 dev + 2 host blocks
+    import numpy as _np
+
+    host_blocks = [b for b in hybrid._blocks if isinstance(b[0], _np.ndarray)]
+    assert len(host_blocks) == 2
+    s1, i1 = hybrid.search(queries, k=7)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5)
+
+    host_only = MipsIndex(mesh, method="int8", host_resident=True)
+    load_int8_store(host_only, store)
+    s2, i2 = host_only.search(queries, k=7)
+    np.testing.assert_array_equal(i0, i2)
+
+
+def test_build_index_uses_and_rebuilds_store(tmp_path, capsys):
+    from dpr_scale_tpu.retrieve.retrieval import build_index
+
+    emb_dir, corpus = _store_fixture(tmp_path)
+    store = str(tmp_path / "store")
+    mesh = get_mesh(8)
+    ix1 = build_index(emb_dir, mesh, method="int8", index_store=store)
+    assert "Building int8 index store" in capsys.readouterr().out
+    queries = np.asarray(corpus[40:56], np.float32)
+    s1, i1 = ix1.search(queries, k=5)
+    # second build: loads the existing store without rebuilding
+    ix2 = build_index(emb_dir, mesh, method="int8", index_store=store)
+    assert "Building" not in capsys.readouterr().out
+    s2, i2 = ix2.search(queries, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    with pytest.raises(ValueError):
+        build_index(emb_dir, mesh, method="fused", index_store=store)
