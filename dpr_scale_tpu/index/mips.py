@@ -815,6 +815,46 @@ class MipsIndex:
         fi = jnp.take_along_axis(cand_i, fpos, axis=1)
         return fs, fi
 
+    def _serving_multi_impl(self, blocks, q, k_eff, meta, planes):
+        """All device-resident blocks searched and merged in ONE program.
+
+        The per-block host loop in :meth:`search` pays one dispatch +
+        one result download per block plus a host-side merge — measured
+        +97% sweep time for 2 extra blocks over the tunnel
+        (docs/REHEARSAL_r03.json, multiblock_merge_overhead_pct). The
+        serving modes (int8/approx) have no verification/fallback stage,
+        so their whole multi-block search is traceable: per-block
+        candidates concatenate and re-top-k on device, and one dispatch
+        returns the merged (B, k) result.
+
+        ``blocks``: tuple of (emb, row_scales|None, col_scales|None);
+        ``meta``: static tuple of (n_valid, offset, k_block) per block.
+        """
+        outs_s, outs_i = [], []
+        for (emb, sc, col), (n_valid, offset, k_block) in zip(blocks, meta):
+            if self.method == "int8":
+                s, i = self._int8_search_impl(
+                    emb, sc, q, k_block, n_valid, col, planes
+                )
+            else:
+                s, i = self._approx_search_impl(emb, q, k_block, n_valid)
+            i = i + offset  # int32: fine to 2.1B rows
+            if k_block < k_eff:  # pad so the concat axis is uniform
+                pad = k_eff - k_block
+                s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+                i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+            outs_s.append(s)
+            outs_i.append(i)
+        cs = jnp.concatenate(outs_s, axis=1)
+        ci = jnp.concatenate(outs_i, axis=1)
+        fs, fpos = jax.lax.top_k(cs, k_eff)
+        fi = jnp.take_along_axis(ci, fpos, axis=1)
+        return fs, fi
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _serving_search_multi(self, blocks, q, k_eff, meta, planes):
+        return self._serving_multi_impl(blocks, q, k_eff, meta, planes)
+
     @functools.partial(jax.jit, static_argnums=(0, 4, 5, 7))
     def _int8_search(self, emb, scales, q, k, n_valid, col=None, planes=1):
         # ``planes`` is an explicit static arg (NOT read off ``self``, which
@@ -1117,6 +1157,25 @@ class MipsIndex:
             jnp.asarray(queries, jnp.float32),
             NamedSharding(self.mesh, P(None, None)),
         )
+        if (
+            len(self._blocks) > 1
+            and self.method in ("int8", "approx")
+            and not any(isinstance(b[0], np.ndarray) for b in self._blocks)
+        ):
+            # device-resident serving modes: one fused dispatch (device
+            # merge) instead of a host round-trip per block
+            blocks = tuple(
+                (b[0], self._scales[bi], self._colscales[bi])
+                for bi, b in enumerate(self._blocks)
+            )
+            meta = tuple(
+                (int(n), int(off), min(k_eff, emb.shape[0] // self.ndev))
+                for emb, _valid, n, off in self._blocks
+            )
+            s, i = self._serving_search_multi(
+                blocks, q, k_eff, meta, int(self.int8_query_planes)
+            )
+            return np.asarray(s), np.asarray(i).astype(np.int64)
         per_block_s, per_block_i = [], []
         # host-resident mode: pipeline the next block's host->device upload
         # against the current block's search (device_put is async)

@@ -740,3 +740,54 @@ def test_build_index_uses_and_rebuilds_store(tmp_path, capsys):
     np.testing.assert_array_equal(i1, i2)
     with pytest.raises(ValueError):
         build_index(emb_dir, mesh, method="fused", index_store=store)
+
+
+def test_serving_multi_block_fused_dispatch_matches_host_merge():
+    """Multi-block device-resident int8/approx searches route through ONE
+    jitted dispatch (device merge). Must equal the per-block host-merge
+    path (exercised via an identical host-resident index)."""
+    rng = np.random.default_rng(42)
+    blocks = [rng.normal(size=(n, 32)).astype(np.float32) for n in (1500, 900, 2100)]
+    queries = rng.normal(size=(19, 32)).astype(np.float32)
+    for method in ("int8", "approx"):
+        dev = MipsIndex(get_mesh(8), method=method)
+        host = MipsIndex(get_mesh(8), method=method, host_resident=True)
+        for b in blocks:
+            dev.add(b)
+            host.add(b)
+        # the fused path requires every block on device
+        assert not any(isinstance(b[0], np.ndarray) for b in dev._blocks)
+        sd, idd = dev.search(queries, k=12)
+        sh, ih = host.search(queries, k=12)
+        np.testing.assert_allclose(sd, sh, rtol=1e-5)
+        np.testing.assert_array_equal(idd, ih)
+
+
+def test_serving_multi_block_fused_dispatch_two_planes():
+    """int8_query_planes rides the fused multi-block dispatch: flipping it
+    on a live index recompiles (results change) and the fused device
+    merge agrees with the per-block host-merge path at both settings."""
+    rng = np.random.default_rng(43)
+    col_spread = np.exp(rng.uniform(-2.5, 2.5, size=64)).astype(np.float32)
+    blocks = [
+        (rng.normal(size=(2048, 64)) * col_spread[None, :]).astype(np.float32)
+        for _ in range(2)
+    ]
+    queries = (rng.normal(size=(16, 64)) * col_spread[None, :]).astype(np.float32)
+    dev = MipsIndex(get_mesh(8), method="int8")
+    host = MipsIndex(get_mesh(8), method="int8", host_resident=True)
+    for b in blocks:
+        dev.add(b)
+        host.add(b)
+    outs = {}
+    for planes in (1, 2):
+        dev.int8_query_planes = planes
+        host.int8_query_planes = planes
+        sd, idd = dev.search(queries, k=10)
+        sh, ih = host.search(queries, k=10)
+        np.testing.assert_allclose(sd, sh, rtol=1e-5)
+        np.testing.assert_array_equal(idd, ih)
+        outs[planes] = sd
+    # the second plane must actually change the scores (recompilation
+    # happened; query-side rounding error removed)
+    assert not np.allclose(outs[1], outs[2])
