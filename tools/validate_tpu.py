@@ -239,19 +239,40 @@ def check_mips(rows):
     s_exact, i_exact = build("exact_sort").search(q, k=100)
     detail = {"rows": rows}
     for method in ("fused", "groupmax"):
-        _s, i_m = build(method).search(q, k=100)
-        mismatch = int((i_m != i_exact).sum())
-        detail[f"{method}_idx_mismatches"] = mismatch
-        assert mismatch == 0, f"{method}: {mismatch} index mismatches vs exact_sort"
-    for method, floor in (("int8", 0.95), ("approx", 0.97)):
-        _s, i_m = build(method).search(q, k=100)
-        rec = float(
+        s_m, i_m = build(method).search(q, k=100)
+        diff = i_m != i_exact
+        # near-tie rank swaps are legal: the two pipelines accumulate fp32
+        # in different orders, so scores can differ in the last ulp and
+        # swap adjacent equal-score ranks (observed 4/25600 at 64k rows on
+        # CPU). A REAL miss surfaces as a materially lower score at that
+        # rank — that is what must be zero.
+        hard = diff & ~np.isclose(s_m, s_exact, rtol=3e-5, atol=1e-5)
+        detail[f"{method}_idx_mismatches"] = int(diff.sum())
+        detail[f"{method}_hard_mismatches"] = int(hard.sum())
+        assert hard.sum() == 0, (
+            f"{method}: {int(hard.sum())} non-tie mismatches vs exact_sort"
+        )
+    def recall_vs_exact(i_m):
+        return float(
             np.mean(
                 [len(set(a) & set(b)) / 100.0 for a, b in zip(i_m, i_exact)]
             )
         )
+
+    for method, floor in (("int8", 0.95), ("approx", 0.97)):
+        ix = build(method)
+        _s, i_m = ix.search(q, k=100)
+        rec = recall_vs_exact(i_m)
         detail[f"{method}_recall@100"] = round(rec, 4)
         assert rec >= floor, f"{method} recall {rec} < {floor}"
+        if method == "int8":
+            # two-plane (int16-precision) queries on the same index; also
+            # exercises recompilation of the fused multi-block dispatch
+            ix.int8_query_planes = 2
+            _s, i_m2 = ix.search(q, k=100)
+            rec2 = recall_vs_exact(i_m2)
+            detail["int8p2_recall@100"] = round(rec2, 4)
+            assert rec2 >= rec - 0.005, f"two-plane regressed: {rec2} vs {rec}"
     return detail
 
 
