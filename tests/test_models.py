@@ -167,3 +167,65 @@ def test_dense_encoder_import_with_projection():
         hidden = hf_model(torch.tensor(np.asarray(ids), dtype=torch.long)).last_hidden_state
         ref = ln(lin(hidden[:, 0])).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-4)
+
+
+def test_matches_hf_torch_roberta():
+    """Imported HF weights reproduce torch RobertaModel hidden states —
+    incl. RoBERTa's pad-aware position ids (positions start at
+    padding_idx+1; pad positions pinned to padding_idx). DRAGON-RoBERTa
+    (reference dragon/README.md:25) ships in this layout."""
+    import torch
+    from transformers import RobertaConfig, RobertaModel
+
+    torch.manual_seed(3)
+    hf_cfg = RobertaConfig(
+        vocab_size=64,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=34,  # 32 + pad offset 2
+        type_vocab_size=1,
+        layer_norm_eps=1e-5,
+        pad_token_id=1,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    hf_model = RobertaModel(hf_cfg).eval()
+    cfg = TransformerConfig(
+        vocab_size=64,
+        hidden_size=32,
+        num_layers=2,
+        num_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=34,
+        type_vocab_size=1,
+        layer_norm_eps=1e-5,
+        pad_token_id=1,
+        position_offset=2,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        dtype=jnp.float32,
+    )
+    sd = torch_state_dict_to_numpy(hf_model.state_dict())
+    params = convert_encoder(sd, cfg)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(2, 64, size=(3, 10)).astype(np.int32)
+    mask = np.ones_like(ids)
+    mask[1, 6:] = 0
+    ids[1, 6:] = 1  # RoBERTa pad id
+    mask[2, 9:] = 0
+    ids[2, 9:] = 1
+
+    with torch.no_grad():
+        ref = hf_model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).last_hidden_state.numpy()
+
+    model = TransformerEncoder(cfg)
+    ours = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(ours)[mask.astype(bool)], ref[mask.astype(bool)], atol=5e-4
+    )
