@@ -855,6 +855,35 @@ class MipsIndex:
     def _serving_search_multi(self, blocks, q, k_eff, meta, planes):
         return self._serving_multi_impl(blocks, q, k_eff, meta, planes)
 
+    def _exact_multi_impl(self, blocks, q, k_eff, meta):
+        """Exact-mode (fused/groupmax) analog of _serving_multi_impl:
+        merged (scores, indices) plus the per-(query, block) verification
+        -failure matrix — the host repairs only failing queries through
+        the per-block path."""
+        outs_s, outs_i, fails = [], [], []
+        for emb, (n_valid, offset, k_block) in zip(blocks, meta):
+            if self.method == "groupmax":
+                s, i, fail = self._groupmax_search_impl(emb, q, k_block, n_valid)
+            else:
+                s, i, fail = self._fused_search_impl(emb, q, k_block, n_valid)
+            i = i + offset
+            if k_block < k_eff:
+                pad = k_eff - k_block
+                s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
+                i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+            outs_s.append(s)
+            outs_i.append(i)
+            fails.append(fail)
+        cs = jnp.concatenate(outs_s, axis=1)
+        ci = jnp.concatenate(outs_i, axis=1)
+        fs, fpos = jax.lax.top_k(cs, k_eff)
+        fi = jnp.take_along_axis(ci, fpos, axis=1)
+        return fs, fi, jnp.stack(fails, axis=1)  # (B, nblocks)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def _exact_search_multi(self, blocks, q, k_eff, meta):
+        return self._exact_multi_impl(blocks, q, k_eff, meta)
+
     @functools.partial(jax.jit, static_argnums=(0, 4, 5, 7))
     def _int8_search(self, emb, scales, q, k, n_valid, col=None, planes=1):
         # ``planes`` is an explicit static arg (NOT read off ``self``, which
@@ -1176,6 +1205,43 @@ class MipsIndex:
                 blocks, q, k_eff, meta, int(self.int8_query_planes)
             )
             return np.asarray(s), np.asarray(i).astype(np.int64)
+        if (
+            len(self._blocks) > 1
+            and self.method in ("fused", "groupmax")
+            and not any(isinstance(b[0], np.ndarray) for b in self._blocks)
+        ):
+            # exact modes: one fused dispatch too; the per-(query, block)
+            # verification-failure flags come back with the merged result,
+            # and only failing queries re-run the per-block host path
+            # (their per-block searches handle the exact fallback)
+            blocks = tuple(b[0] for b in self._blocks)
+            meta = tuple(
+                (int(n), int(off), min(k_eff, emb.shape[0] // self.ndev))
+                for emb, _valid, n, off in self._blocks
+            )
+            s, i, fail = self._exact_search_multi(blocks, q, k_eff, meta)
+            s = np.array(s)  # writable copies: failing rows get patched
+            i = np.array(i).astype(np.int64)
+            fail_q = np.nonzero(np.asarray(fail).any(axis=1))[0]
+            if len(fail_q):
+                qs = np.asarray(queries, np.float32)[fail_q]
+                pad_b = max(64, 1 << (len(qs) - 1).bit_length())  # jit reuse
+                qp = np.zeros((pad_b, qs.shape[1]), np.float32)
+                qp[: len(qs)] = qs
+                sf, if_ = self._per_block_host_merge(
+                    jax.device_put(
+                        jnp.asarray(qp), NamedSharding(self.mesh, P(None, None))
+                    ),
+                    k_eff,
+                )
+                s[fail_q] = sf[: len(qs)]
+                i[fail_q] = if_[: len(qs)]
+            return s, i
+        return self._per_block_host_merge(q, k_eff)
+
+    def _per_block_host_merge(self, q, k_eff):
+        """One search dispatch per block + host-side top-k merge — the
+        general path (host-resident tiers, exact fallbacks of any size)."""
         per_block_s, per_block_i = [], []
         # host-resident mode: pipeline the next block's host->device upload
         # against the current block's search (device_put is async)

@@ -791,3 +791,70 @@ def test_serving_multi_block_fused_dispatch_two_planes():
     # the second plane must actually change the scores (recompilation
     # happened; query-side rounding error removed)
     assert not np.allclose(outs[1], outs[2])
+
+
+def test_exact_multi_block_fused_dispatch_with_repair(monkeypatch):
+    """Multi-block device-resident exact modes route through ONE dispatch;
+    queries whose verification fails in any block are repaired through the
+    per-block host path. Inject an overload (more discrepant groups than
+    the rescue budget) so the repair genuinely runs, and require exact
+    numpy results."""
+    import jax
+
+    from dpr_scale_tpu.index.mips import RESCUE_GROUPS
+    from dpr_scale_tpu.ops.mips_kernels import GROUP_ROWS
+
+    rng = np.random.default_rng(15)
+    n_planted = RESCUE_GROUPS + 2
+    b0 = rng.normal(size=(8 * 1024, 16)).astype(np.float32)
+    b1 = rng.normal(size=(8 * 1024, 16)).astype(np.float32)
+    v = rng.normal(size=(16,)).astype(np.float32)
+    for j in range(n_planted + 4):  # plant the overload in block 1
+        b1[j * GROUP_ROWS] = v * (30 - j)
+    corpus = np.concatenate([b0, b1])
+    queries = np.tile(v, (4, 1)).astype(np.float32)
+
+    index = MipsIndex(get_mesh(8), dtype=jnp.float32, method="fused")
+    index.add(b0)
+    index.add(b1)
+
+    calls = []
+    orig = MipsIndex._per_block_host_merge
+    monkeypatch.setattr(
+        MipsIndex,
+        "_per_block_host_merge",
+        lambda self, q, k_eff: calls.append(q.shape) or orig(self, q, k_eff),
+    )
+    monkeypatch.setattr(jax.lax, "approx_max_k", _drop_best_approx(n_planted))
+    s, i = index.search(queries, k=4)
+    es, ei = _np_topk(corpus, queries, 4)
+    np.testing.assert_array_equal(i, ei)
+    np.testing.assert_allclose(s, es, rtol=2e-5)
+    # the host path ran ONLY as the repair pass (padded failing batch),
+    # not as the primary search
+    assert len(calls) == 1 and calls[0][0] == 64, calls
+
+
+def test_exact_multi_block_fused_dispatch_no_failures(monkeypatch):
+    """Happy path: no verification failures -> zero host-merge calls, one
+    device dispatch, exact results (fused + groupmax)."""
+    rng = np.random.default_rng(16)
+    blocks = [rng.normal(size=(8 * 1024, 16)).astype(np.float32) for _ in range(3)]
+    corpus = np.concatenate(blocks)
+    queries = rng.normal(size=(9, 16)).astype(np.float32)
+    es, ei = _np_topk(corpus, queries, 11)
+    for method in ("fused", "groupmax"):
+        index = MipsIndex(get_mesh(8), dtype=jnp.float32, method=method)
+        for b in blocks:
+            index.add(b)
+        calls = []
+        orig = MipsIndex._per_block_host_merge
+        monkeypatch.setattr(
+            MipsIndex,
+            "_per_block_host_merge",
+            lambda self, q, k_eff: calls.append(1) or orig(self, q, k_eff),
+        )
+        s, i = index.search(queries, k=11)
+        np.testing.assert_array_equal(i, ei)
+        np.testing.assert_allclose(s, es, rtol=2e-5)
+        assert not calls, f"{method}: host merge ran on the happy path"
