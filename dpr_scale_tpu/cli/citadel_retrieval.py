@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dpr_scale_tpu.cli.common import build_tokenizer
+from dpr_scale_tpu.cli.common import check_vocab_compat, build_tokenizer
 from dpr_scale_tpu.cli.generate_multivec_embeddings import build_multivec_model
 from dpr_scale_tpu.config import load_config
 from dpr_scale_tpu.data.datamodule import QueriesDataModule
@@ -41,6 +41,7 @@ def main(argv=None):
 
     tokenizer = build_tokenizer(cfg)
     model, params = build_multivec_model(cfg, tokenizer)
+    check_vocab_compat(tokenizer, model.cfg)
     d = cfg.datamodule
     passages = CSVDataset(d["passages_path"])
     index = InvertedExpertIndex.load(

@@ -63,6 +63,24 @@ def build_model_config(cfg: Config) -> TransformerConfig:
     return dataclasses.replace(base, **overrides)
 
 
+def check_vocab_compat(tokenizer, model_cfg) -> None:
+    """Fail loudly when token ids can exceed the embedding table.
+
+    torch crashes on an out-of-range embedding index; XLA gathers clamp or
+    return garbage SILENTLY, surfacing as NaN losses several layers away —
+    so the CLIs check up front."""
+    inner = getattr(tokenizer, "tokenizer", None)
+    vs = getattr(inner, "vocab_size", None)
+    if vs and vs > model_cfg.vocab_size:
+        raise ValueError(
+            f"tokenizer vocab ({vs}) exceeds model vocab_size "
+            f"({model_cfg.vocab_size}): token ids would index past the "
+            f"embedding table, which XLA does not trap (it surfaces as NaN "
+            f"losses). Set task.model.vocab_size={vs} or use a matching "
+            f"tokenizer."
+        )
+
+
 def build_optimizer(cfg: Config, total_steps: int):
     o = cfg.task.optim
     schedule = linear_warmup_decay(
@@ -144,6 +162,7 @@ def build_task(
         optimizer=optimizer,
         mesh=mesh,
         zero1=zero1,
+        grad_cache_chunks=t.get("grad_cache_chunks", 1),
     )
 
 

@@ -19,7 +19,7 @@ import argparse
 
 import jax
 
-from dpr_scale_tpu.cli.common import build_model_config, build_task, build_tokenizer
+from dpr_scale_tpu.cli.common import check_vocab_compat, build_model_config, build_task, build_tokenizer
 from dpr_scale_tpu.config import load_config
 from dpr_scale_tpu.data.datamodule import PassagesDataModule, contiguous_shard
 from dpr_scale_tpu.encode.embeddings import CorpusEncoder
@@ -58,6 +58,7 @@ def main(argv=None):
 
     tokenizer = build_tokenizer(cfg)
     task = build_task(cfg)
+    check_vocab_compat(tokenizer, task.cfg)
     exported = cfg.task.get("exported_encoder_path")
     quantized = cfg.task.get("quantized_checkpoint_path")
     if exported:

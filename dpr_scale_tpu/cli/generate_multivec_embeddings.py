@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dpr_scale_tpu.cli.common import build_model_config, build_tokenizer
+from dpr_scale_tpu.cli.common import check_vocab_compat, build_model_config, build_tokenizer
 from dpr_scale_tpu.config import load_config
 from dpr_scale_tpu.data.datamodule import PassagesDataModule, contiguous_shard
 from dpr_scale_tpu.index.inverted import InvertedExpertIndex
@@ -61,6 +61,7 @@ def main(argv=None):
 
     tokenizer = build_tokenizer(cfg)
     model, params = build_multivec_model(cfg, tokenizer)
+    check_vocab_compat(tokenizer, model.cfg)
     d = cfg.datamodule
     dm = PassagesDataModule(
         tokenizer,

@@ -9,7 +9,7 @@ import pickle
 
 import numpy as np
 
-from dpr_scale_tpu.cli.common import build_task, build_tokenizer
+from dpr_scale_tpu.cli.common import check_vocab_compat, build_task, build_tokenizer
 from dpr_scale_tpu.config import load_config
 from dpr_scale_tpu.data.datamodule import QueriesDataModule
 from dpr_scale_tpu.encode.embeddings import CorpusEncoder
@@ -49,6 +49,7 @@ def main(argv=None):
 
     tokenizer = build_tokenizer(cfg)
     task = build_task(cfg)
+    check_vocab_compat(tokenizer, task.cfg)
     params = _init_params(task, tokenizer, cfg.task.get("checkpoint_path"))
     out_dir = cfg.task.get("ctx_embeddings_dir", "embeddings")
     return encode_queries(cfg, task, params, tokenizer, out_dir)

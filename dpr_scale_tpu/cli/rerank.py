@@ -16,7 +16,7 @@ import argparse
 
 import jax
 
-from dpr_scale_tpu.cli.common import build_model_config, build_tokenizer
+from dpr_scale_tpu.cli.common import check_vocab_compat, build_model_config, build_tokenizer
 from dpr_scale_tpu.config import load_config
 from dpr_scale_tpu.data.datasets import (
     IDCSVDataset,
@@ -44,6 +44,7 @@ def main(argv=None):
         IDCSVDataset(d["passages_path"]),
     )
     mcfg = build_model_config(cfg)
+    check_vocab_compat(tokenizer, mcfg)
     rerank_type = cfg.task.get("rerank_type", "dense")
     common = dict(
         batch_size=d.get("batch_size", 32),

@@ -17,7 +17,7 @@ import pickle
 
 import numpy as np
 
-from dpr_scale_tpu.cli.common import build_task, build_tokenizer
+from dpr_scale_tpu.cli.common import check_vocab_compat, build_task, build_tokenizer
 from dpr_scale_tpu.config import load_config
 from dpr_scale_tpu.data.datamodule import QueriesDataModule
 from dpr_scale_tpu.retrieve.retrieval import retrieve
@@ -35,6 +35,7 @@ def main(argv=None):
 
     tokenizer = build_tokenizer(cfg)
     task = build_task(cfg)
+    check_vocab_compat(tokenizer, task.cfg)
     d = cfg.datamodule
     emb_dir = cfg.task["ctx_embeddings_dir"]
 

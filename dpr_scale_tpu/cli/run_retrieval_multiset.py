@@ -14,7 +14,7 @@ import pickle
 
 import numpy as np
 
-from dpr_scale_tpu.cli.common import build_task, build_tokenizer
+from dpr_scale_tpu.cli.common import check_vocab_compat, build_task, build_tokenizer
 from dpr_scale_tpu.config import load_config
 from dpr_scale_tpu.data.datamodule import QueriesDataModule
 from dpr_scale_tpu.retrieve.retrieval import build_index, retrieve
@@ -32,6 +32,7 @@ def main(argv=None):
 
     tokenizer = build_tokenizer(cfg)
     task = build_task(cfg)
+    check_vocab_compat(tokenizer, task.cfg)
     d = cfg.datamodule
     index = build_index(
         cfg.task["ctx_embeddings_dir"], task.mesh,

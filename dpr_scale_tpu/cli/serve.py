@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import argparse
 
-from dpr_scale_tpu.cli.common import build_task, build_tokenizer
+from dpr_scale_tpu.cli.common import check_vocab_compat, build_task, build_tokenizer
 from dpr_scale_tpu.config import load_config
 from dpr_scale_tpu.data.datasets import CSVDataset
 from dpr_scale_tpu.encode.embeddings import CorpusEncoder
@@ -37,6 +37,7 @@ def main(argv=None):
 
     tokenizer = build_tokenizer(cfg)
     task = build_task(cfg)
+    check_vocab_compat(tokenizer, task.cfg)
     from dpr_scale_tpu.cli.generate_embeddings import _init_params
 
     params = _init_params(task, tokenizer, cfg.task.get("checkpoint_path"))

@@ -16,6 +16,7 @@ from dpr_scale_tpu.cli.common import (
     build_optimizer,
     build_task,
     build_tokenizer,
+    check_vocab_compat,
 )
 from dpr_scale_tpu.train.checkpoint import CheckpointManager, load_params
 from dpr_scale_tpu.train.loop import Trainer
@@ -79,6 +80,7 @@ def main(argv=None):
 
     optimizer = build_optimizer(cfg, total_steps)
     task = build_task(cfg, optimizer=optimizer, n_devices=tr.get("num_devices"))
+    check_vocab_compat(tokenizer, task.cfg)
 
     ckpt_cfg = cfg.get("checkpoint_callback", {})
     checkpoint = None

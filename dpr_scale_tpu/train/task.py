@@ -63,6 +63,19 @@ class DenseRetrieverTask:
     # dropout masks (threefry mask generation alone costs ~32%% of a
     # bert-base train step: measured 83ms vs 37ms per step at B=128);
     # "threefry" restores the jax default (partitionable/stable bits)
+    grad_cache_chunks: int = 1  # >1: GradCache-style step — EXACT
+    # large-batch contrastive gradients at chunk-bounded activation
+    # memory. Plain accumulation (optax MultiSteps, the reference's
+    # accumulate_grad_batches) loses cross-chunk in-batch negatives; this
+    # keeps them: (1) encode the batch in a scanned chunk loop with no
+    # grad graph, (2) differentiate the loss w.r.t. the full embedding
+    # matrices (cheap: loss sees only (B, D)), (3) re-encode each chunk
+    # under jax.vjp against its embedding-cotangent slice and accumulate
+    # param grads. Identical gradients to the monolithic step (the loss
+    # depends on params only through the embeddings; dropout bits are
+    # chunk-seeded so phase 1 and phase 3 see the same masks). Cost:
+    # one extra forward (~4/3 step FLOPs) for O(B/chunks) activations —
+    # the batch sizes the reference could not fit (README.md:277-285).
 
     def __post_init__(self):
         if self.encoder_family == "splade":
@@ -144,16 +157,112 @@ class DenseRetrieverTask:
         )
         return loss, scores
 
+    def _wrap_rng(self, key):
+        if self.dropout_rng_impl == "rbg":
+            data = jax.random.key_data(key)
+            key = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
+        return key
+
+    def _grad_cache_grads(self, params, batch, base_rng):
+        """(loss, grads) with gradients EQUAL to the monolithic step but
+        activation memory bounded by B/grad_cache_chunks (see the
+        ``grad_cache_chunks`` field note)."""
+        C = self.grad_cache_chunks
+        B = batch["query_ids"].shape[0]
+        nctx = batch["contexts_ids"].shape[0]
+        ratio = nctx // B
+        assert B % C == 0 and nctx == B * ratio, (B, nctx, C)
+        chunk_keys = jax.random.split(base_rng, C)
+
+        # strided chunking keeps every chunk evenly data-sharded: the
+        # reshape splits the block-sharded leading axis into
+        # (B/C blocks, C) locally, so chunk g = rows {g, C+g, ...} and
+        # slicing [:, g] moves no data across devices
+        def q_chunks(x):
+            return x.reshape(B // C, C, *x.shape[1:]).swapaxes(0, 1)
+
+        def c_chunks(x):
+            xr = x.reshape(B // C, C, ratio, *x.shape[1:]).swapaxes(0, 1)
+            return xr.reshape(C, (B // C) * ratio, *x.shape[1:])
+
+        xs = (
+            q_chunks(batch["query_ids"]),
+            q_chunks(batch["query_mask"]),
+            c_chunks(batch["contexts_ids"]),
+            c_chunks(batch["contexts_mask"]),
+            chunk_keys,
+        )
+
+        def encode_chunk(p, qi, qm, ci, cm, key):
+            return self.model.apply(
+                {"params": p}, qi, qm, ci, cm,
+                deterministic=False,
+                rngs={"dropout": self._wrap_rng(key)},
+            )
+
+        # phase 1: embeddings only — nothing differentiated, so scan
+        # keeps exactly one chunk's activations live
+        def enc(_, x):
+            qi, qm, ci, cm, key = x
+            return None, encode_chunk(params, qi, qm, ci, cm, key)
+
+        _, (q_emb, c_emb) = jax.lax.scan(enc, None, xs)
+        D = q_emb.shape[-1]
+        q_all = q_emb.swapaxes(0, 1).reshape(B, D)
+        c_all = (
+            c_emb.reshape(C, B // C, ratio, D).swapaxes(0, 1).reshape(nctx, D)
+        )
+
+        # phase 2: loss + embedding cotangents (cheap: (B, D) matrices)
+        def emb_loss(q, c):
+            loss, _scores = contrastive_loss(
+                q, c, batch["pos_ctx_indices"], batch["ctx_mask"],
+                self.softmax_temperature, self.in_batch_negatives,
+            )
+            return loss
+        loss, (dq_all, dc_all) = jax.value_and_grad(emb_loss, argnums=(0, 1))(
+            q_all, c_all
+        )
+        dq = dq_all.reshape(B // C, C, D).swapaxes(0, 1)
+        dc = (
+            dc_all.reshape(B // C, C, ratio, D)
+            .swapaxes(0, 1)
+            .reshape(C, (B // C) * ratio, D)
+        )
+
+        # phase 3: re-encode each chunk under vjp against its cotangent
+        # slice; param grads accumulate across chunks (gradient linearity)
+        def chunk_grad(acc, x):
+            qi, qm, ci, cm, key, dq_i, dc_i = x
+            _, vjp = jax.vjp(
+                lambda p: encode_chunk(p, qi, qm, ci, cm, key), params
+            )
+            (g,) = vjp((dq_i, dc_i))
+            return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+        zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        grads, _ = jax.lax.scan(chunk_grad, zero, (*xs, dq, dc))
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), grads, params
+        )
+        return loss, grads
+
     def make_train_step(self) -> Callable:
         if self._train_step is not None:
             return self._train_step
 
         def train_step(state: TrainState, batch, epoch=0) -> Tuple[TrainState, Dict]:
             del epoch  # dense task has no epoch-dependent terms
-            step_rng = self._step_dropout_rng(state)
-            (loss, _scores), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True
-            )(state.params, batch, step_rng)
+            if self.grad_cache_chunks > 1:
+                base = jax.random.fold_in(state.dropout_rng, state.step)
+                loss, grads = self._grad_cache_grads(state.params, batch, base)
+            else:
+                step_rng = self._step_dropout_rng(state)
+                (loss, _scores), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(state.params, batch, step_rng)
             updates, new_opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )

@@ -381,3 +381,52 @@ def test_zero1_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         float(m_a["train_loss"]), float(m_b["train_loss"]), rtol=1e-6
     )
+
+
+def test_grad_cache_matches_monolithic_step():
+    """grad_cache_chunks>1 must produce IDENTICAL training to the
+    monolithic step (tiny config: zero dropout): GradCache re-derives the
+    full-batch contrastive gradient from chunked encoding — unlike
+    MultiSteps accumulation, which would lose cross-chunk negatives."""
+    batch = _fake_batch(8, 3, seed=21)
+    mono = _tiny_task()
+    cache = _tiny_task(grad_cache_chunks=4)
+    sm = mono.init_state(jax.random.PRNGKey(0), batch)
+    sc = cache.init_state(jax.random.PRNGKey(0), batch)
+    step_m = mono.make_train_step()
+    step_c = cache.make_train_step()
+    for _ in range(3):
+        sm, mm = step_m(sm, mono.shard(batch))
+        sc, mc = step_c(sc, cache.shard(batch))
+        np.testing.assert_allclose(
+            float(mc["train_loss"]), float(mm["train_loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(mc["grad_norm"]), float(mm["grad_norm"]), rtol=1e-4
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sm.params), jax.tree_util.tree_leaves(sc.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_grad_cache_mesh_parity():
+    """GradCache's strided chunking must be sharding-transparent:
+    mesh(8) == mesh(1) params after real steps."""
+    batch = _fake_batch(8, 2, seed=22)
+    t8 = _tiny_task(grad_cache_chunks=2, mesh=get_mesh(8))
+    t1 = _tiny_task(grad_cache_chunks=2, mesh=get_mesh(1))
+    s8 = t8.init_state(jax.random.PRNGKey(0), batch)
+    s1 = t1.init_state(jax.random.PRNGKey(0), batch)
+    step8 = t8.make_train_step()
+    step1 = t1.make_train_step()
+    for _ in range(2):
+        s8, m8 = step8(s8, t8.shard(batch))
+        s1, m1 = step1(s1, t1.shard(batch))
+    np.testing.assert_allclose(
+        float(m8["train_loss"]), float(m1["train_loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s8.params), jax.tree_util.tree_leaves(s1.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
