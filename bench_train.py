@@ -35,6 +35,12 @@ def main():
         "--fused-ffn", action="store_true",
         help="Pallas fused FFN (matmul+GELU+matmul+dropout)",
     )
+    parser.add_argument(
+        "--grad-cache", type=int, default=1, metavar="C",
+        help="GradCache chunks: exact full-batch contrastive gradients "
+        "with activation memory bounded by B/C (enables batches past "
+        "the no-remat HBM ceiling; ~4/3 step FLOPs)",
+    )
     args = parser.parse_args()
 
     try:
@@ -68,6 +74,7 @@ def main():
         optimizer=make_optimizer(
             "adamw", linear_warmup_decay(2e-5, 100, 10000), grad_clip_norm=2.0
         ),
+        grad_cache_chunks=args.grad_cache,
     )
     B, C = args.batch, 1 + args.negatives
     rng = np.random.default_rng(0)
@@ -105,7 +112,8 @@ def main():
                 "metric": f"train_qps_{args.arch}_b{B}_c{C}_q{args.qlen}_c{args.clen}"
                 + ("_remat" if args.remat else "")
                 + ("_fa" if args.fused_attention else "")
-                + ("_ffn" if args.fused_ffn else ""),
+                + ("_ffn" if args.fused_ffn else "")
+                + (f"_gc{args.grad_cache}" if args.grad_cache > 1 else ""),
                 "value": round(args.steps * B / dt, 1),
                 "unit": "queries/s",
                 "steps_per_s": round(args.steps / dt, 2),
