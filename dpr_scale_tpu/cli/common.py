@@ -138,6 +138,7 @@ def build_task(
             optimizer=optimizer,
             mesh=mesh,
             zero1=zero1,
+            grad_cache_chunks=t.get("grad_cache_chunks", 1),
         )
     if task_type == "distill":
         from dpr_scale_tpu.train.distill import DPRDistillTask

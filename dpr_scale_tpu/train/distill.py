@@ -97,7 +97,7 @@ class DPRDistillTask:
             new_params = optax.apply_updates(state.params, updates)
             return (
                 state.replace(params=new_params, opt_state=new_opt, step=state.step + 1),
-                {"train_loss": loss},
+                {"train_loss": loss, "grad_norm": optax.global_norm(grads)},
             )
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))

@@ -229,6 +229,19 @@ class MultiVecRetrieverTask:
     mesh: Optional[Any] = None
     zero1: bool = False  # ZeRO-1 optimizer-state sharding
     dropout_rng_impl: str = "rbg"  # TPU-native dropout bits (see task.py)
+    grad_cache_chunks: int = 1  # >1: GradCache-style step (see
+    # DenseRetrieverTask.grad_cache_chunks). Multi-vector variant: the
+    # cache carries the model's DICT outputs — every float batch-leading
+    # leaf (token reprs, router planes, expert weights, masks) is
+    # differentiated through in phase 2 and fed back as a cotangent in
+    # phase 3; integer routing ids are cached as loss constants (top_k
+    # indices carry no gradient in the monolithic step either). The
+    # batch-max router stats (avg_marg_num_experts is a max over the
+    # GLOBAL batch) are recomputed from the unchunked router_mask so
+    # metrics match the monolithic step exactly. Activation memory drops
+    # to O(B/chunks); the cache itself is token-level — (B, T, D) reprs
+    # plus (B, V) router planes for CITADEL — small next to the trunk's
+    # per-layer activations.
 
     def __post_init__(self):
         self.model = MultiVecEncoder(
@@ -390,6 +403,137 @@ class MultiVecRetrieverTask:
             step_rng = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
         return step_rng
 
+    def _wrap_rng(self, key):
+        if self.dropout_rng_impl == "rbg":
+            data = jax.random.key_data(key)
+            key = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
+        return key
+
+    @staticmethod
+    def _gc_diff(repr_dict: Dict) -> Dict:
+        """The differentiated slice of an encoder output: float leaves with
+        a batch axis, in sorted-key order (stable structure between the
+        phase-2 grad and the phase-3 cotangent)."""
+        return {
+            k: v
+            for k in sorted(repr_dict)
+            if jnp.issubdtype((v := repr_dict[k]).dtype, jnp.floating)
+            and v.ndim >= 1
+        }
+
+    def _grad_cache_grads(self, params, batch, base_rng, epoch):
+        """(loss, metrics, grads) equal to the monolithic step at
+        O(B/grad_cache_chunks) activation memory (``grad_cache_chunks``
+        field note; same three-phase scheme as the dense task)."""
+        C = self.grad_cache_chunks
+        B = batch["query_ids"].shape[0]
+        nctx = batch["contexts_ids"].shape[0]
+        ratio = nctx // B
+        assert B % C == 0 and nctx == B * ratio, (B, nctx, C)
+        chunk_keys = jax.random.split(base_rng, C)
+
+        # strided chunking: chunk g = rows {g, C+g, ...} so every chunk
+        # stays evenly data-sharded (see DenseRetrieverTask)
+        def q_chunks(x):
+            return x.reshape(B // C, C, *x.shape[1:]).swapaxes(0, 1)
+
+        def c_chunks(x):
+            xr = x.reshape(B // C, C, ratio, *x.shape[1:]).swapaxes(0, 1)
+            return xr.reshape(C, (B // C) * ratio, *x.shape[1:])
+
+        def q_unchunk(x):
+            return x.swapaxes(0, 1).reshape(B, *x.shape[2:])
+
+        def c_unchunk(x):
+            xr = x.reshape(C, B // C, ratio, *x.shape[2:]).swapaxes(0, 1)
+            return xr.reshape(nctx, *x.shape[2:])
+
+        xs = (
+            q_chunks(batch["query_ids"]),
+            q_chunks(batch["query_mask"]),
+            c_chunks(batch["contexts_ids"]),
+            c_chunks(batch["contexts_mask"]),
+            chunk_keys,
+        )
+
+        def encode_chunk(p, qi, qm, ci, cm, key):
+            rngs = {"dropout": self._wrap_rng(key)}
+            q_repr = self.model.apply(
+                {"params": p}, qi, qm, topk=self.query_topk,
+                add_cls=self.add_cls, deterministic=False, rngs=rngs,
+            )
+            c_repr = self.model.apply(
+                {"params": p}, ci, cm, topk=self.context_topk,
+                add_cls=self.add_cls, deterministic=False, rngs=rngs,
+            )
+            return q_repr, c_repr
+
+        # phase 1: cache the dict outputs, no grad graph
+        def enc(_, x):
+            qi, qm, ci, cm, key = x
+            return None, encode_chunk(params, qi, qm, ci, cm, key)
+
+        _, (q_stack, c_stack) = jax.lax.scan(enc, None, xs)
+
+        def unchunk(stack, un):
+            full = {}
+            for k, v in stack.items():
+                if v.ndim >= 2:
+                    full[k] = un(v)
+                # per-chunk scalars (stacked to (C,)) are dropped here and
+                # recomputed from the unchunked planes below
+            return full
+
+        q_full = unchunk(q_stack, q_unchunk)
+        c_full = unchunk(c_stack, c_unchunk)
+        for full in (q_full, c_full):
+            if "router_mask" in full:  # exact global-batch stats
+                rm = full["router_mask"]
+                full["avg_cond_num_experts"] = jnp.mean(jnp.sum(rm, axis=1))
+                full["avg_marg_num_experts"] = jnp.sum(jnp.max(rm, axis=0))
+
+        # phase 2: loss + cotangents w.r.t. the float batch-leading leaves
+        q_diff, c_diff = self._gc_diff(q_full), self._gc_diff(c_full)
+        q_stat = {k: v for k, v in q_full.items() if k not in q_diff}
+        c_stat = {k: v for k, v in c_full.items() if k not in c_diff}
+
+        def emb_loss(qd, cd):
+            return self.compute_loss(
+                {**q_stat, **qd},
+                {**c_stat, **cd},
+                batch["ctx_mask"],
+                batch["pos_ctx_indices"],
+                batch["scores"],
+                epoch,
+            )
+
+        (loss, metrics), (dq, dc) = jax.value_and_grad(
+            emb_loss, argnums=(0, 1), has_aux=True
+        )(q_diff, c_diff)
+
+        # phase 3: re-encode each chunk under vjp against its cotangent
+        dq_chunks = jax.tree_util.tree_map(q_chunks, dq)
+        dc_chunks = jax.tree_util.tree_map(c_chunks, dc)
+
+        def chunk_grad(acc, x):
+            qi, qm, ci, cm, key, dq_i, dc_i = x
+            def diff_out(p):
+                q_repr, c_repr = encode_chunk(p, qi, qm, ci, cm, key)
+                return self._gc_diff(q_repr), self._gc_diff(c_repr)
+
+            _, vjp = jax.vjp(diff_out, params)
+            (g,) = vjp((dq_i, dc_i))
+            return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+        zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        grads, _ = jax.lax.scan(chunk_grad, zero, (*xs, dq_chunks, dc_chunks))
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), grads, params
+        )
+        return loss, metrics, grads
+
     def make_train_step(self) -> Callable:
         if self._train_step is not None:
             return self._train_step
@@ -406,10 +550,16 @@ class MultiVecRetrieverTask:
             )
 
         def train_step(state: TrainState, batch, epoch=0):
-            step_rng = self._step_dropout_rng(state)
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, step_rng, epoch
-            )
+            if self.grad_cache_chunks > 1:
+                base = jax.random.fold_in(state.dropout_rng, state.step)
+                loss, metrics, grads = self._grad_cache_grads(
+                    state.params, batch, base, epoch
+                )
+            else:
+                step_rng = self._step_dropout_rng(state)
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, batch, step_rng, epoch)
             updates, new_opt = self.optimizer.update(grads, state.opt_state, state.params)
             if self._opt_shardings is not None:  # keep moments ZeRO-sharded
                 new_opt = jax.tree_util.tree_map(
@@ -417,6 +567,7 @@ class MultiVecRetrieverTask:
                 )
             new_params = optax.apply_updates(state.params, updates)
             metrics["train_loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
             return (
                 state.replace(params=new_params, opt_state=new_opt, step=state.step + 1),
                 metrics,

@@ -193,6 +193,78 @@ def test_multivec_train_step_learns(variant):
     assert 0 <= ev["mrr"] <= 1 and ev["query_count"] == 4
 
 
+@pytest.mark.parametrize("variant", ["citadel", "colbert"])
+def test_multivec_grad_cache_matches_monolithic_step(variant):
+    """grad_cache_chunks>1 must train IDENTICALLY to the monolithic step
+    (tiny config: zero dropout) — the dict-output GradCache caches token
+    reprs + router planes and re-derives the full-batch gradient,
+    including the aux regularizers and teacher distillation."""
+    kw = dict(
+        cfg=CFG, variant=variant, tok_projection_dim=8,
+        query_topk=2, context_topk=2,
+        query_router_marg_load_loss_coef=0.01 if variant == "citadel" else 0.0,
+        context_expert_load_loss_coef=0.01 if variant == "citadel" else 0.0,
+        teacher_coef=0.3 if variant == "citadel" else 0.0,
+        anneal_factor=1.0, max_epochs=2,
+    )
+    batch = _mv_batch(8, 2, seed=11)
+    mono = MultiVecRetrieverTask(
+        optimizer=make_optimizer("adamw", 1e-3, grad_clip_norm=2.0), **kw
+    )
+    cache = MultiVecRetrieverTask(
+        optimizer=make_optimizer("adamw", 1e-3, grad_clip_norm=2.0),
+        grad_cache_chunks=4, **kw,
+    )
+    sm = mono.init_state(jax.random.PRNGKey(0), batch)
+    sc = cache.init_state(jax.random.PRNGKey(0), batch)
+    step_m = mono.make_train_step()
+    step_c = cache.make_train_step()
+    for _ in range(3):
+        sm, mm = step_m(sm, mono.shard(batch), 1)
+        sc, mc = step_c(sc, cache.shard(batch), 1)
+        np.testing.assert_allclose(
+            float(mc["train_loss"]), float(mm["train_loss"]), rtol=1e-5
+        )
+    if variant == "citadel":
+        # per-batch router stats (incl. the global-batch MAX stat) match
+        for key in ("avg_query_cond_num_experts", "avg_query_marg_num_experts"):
+            np.testing.assert_allclose(
+                float(mc[key]), float(mm[key]), rtol=1e-6, err_msg=key
+            )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sm.params), jax.tree_util.tree_leaves(sc.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_multivec_grad_cache_mesh_parity():
+    """Strided dict-output chunking must be sharding-transparent:
+    mesh(8) == mesh(1) params after real GradCache steps."""
+    from dpr_scale_tpu.parallel import get_mesh
+
+    batch = _mv_batch(8, 2, seed=12)
+    states, metrics = {}, {}
+    for n in (8, 1):
+        task = MultiVecRetrieverTask(
+            cfg=CFG, variant="citadel", tok_projection_dim=8,
+            query_topk=2, context_topk=2, grad_cache_chunks=2,
+            optimizer=make_optimizer("adamw", 1e-3), mesh=get_mesh(n),
+        )
+        s = task.init_state(jax.random.PRNGKey(0), batch)
+        step = task.make_train_step()
+        for _ in range(2):
+            s, m = step(s, task.shard(batch), 0)
+        states[n], metrics[n] = s, m
+    np.testing.assert_allclose(
+        float(metrics[8]["train_loss"]), float(metrics[1]["train_loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(states[8].params),
+        jax.tree_util.tree_leaves(states[1].params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_cross_encoder_shapes():
     model = CrossEncoder(CFG)
     ids, mask = _ids(3, 10)
