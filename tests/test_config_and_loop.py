@@ -200,6 +200,60 @@ def test_train_cli_smoke(dpr10_jsonl, tiny_bert_dir, tmp_path, capsys):
     assert (tmp_path / "ckpt" / "last").exists()
 
 
+def test_train_cli_smoke_multivec(dpr10_jsonl, tiny_bert_dir, tmp_path):
+    """Loop-level CLI training for the multivec task (regression: the
+    multivec step never emitted grad_norm, so the first logged step
+    crashed — only step-level tests existed). Also covers the
+    dict-output GradCache through the CLI."""
+    from dpr_scale_tpu.cli.train import main
+
+    metrics = main(
+        [
+            "--config", os.path.join(CONF, "tiny_smoke.yaml"),
+            "task.type=multivec", "task.variant=citadel",
+            "task.tok_projection_dim=8", "task.query_topk=2",
+            "task.context_topk=2", "task.grad_cache_chunks=2",
+            f"task.transform.model_path={tiny_bert_dir}",
+            f"datamodule.train_path={dpr10_jsonl}",
+            f"datamodule.val_path={dpr10_jsonl}",
+            f"datamodule.test_path={dpr10_jsonl}",
+            f"checkpoint_callback.dirpath={tmp_path / 'ckpt'}",
+            "trainer.max_epochs=1", "trainer.log_every=1",
+        ]
+    )
+    assert metrics and 0.0 < metrics["mrr"] <= 1.0
+
+
+def test_train_cli_smoke_distill(tiny_bert_dir, tmp_path):
+    """Loop-level CLI training for the distill task (same grad_norm
+    logging regression class as multivec)."""
+    import json
+
+    from dpr_scale_tpu.cli.train import main
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "distill.jsonl"
+    with open(path, "w") as f:
+        for i in range(8):
+            f.write(json.dumps({
+                "question": f"who wrote book {i}",
+                "ctx_target_vectors": [rng.normal(size=16).tolist()],
+                "qry_target_vector": rng.normal(size=16).tolist(),
+            }) + "\n")
+    metrics = main(
+        [
+            "--config", os.path.join(CONF, "tiny_smoke.yaml"),
+            "task.type=distill",
+            f"task.transform.model_path={tiny_bert_dir}",
+            f"datamodule.train_path={path}",
+            f"datamodule.val_path={path}",
+            f"checkpoint_callback.dirpath={tmp_path / 'ckpt'}",
+            "trainer.max_epochs=1", "trainer.log_every=1",
+        ]
+    )
+    assert metrics is not None
+
+
 def test_sweep_expand_overrides():
     from dpr_scale_tpu.cli.sweep import expand_overrides
 
