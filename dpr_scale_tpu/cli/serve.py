@@ -24,15 +24,9 @@ from dpr_scale_tpu.retrieve.retrieval import build_index
 from dpr_scale_tpu.retrieve.server import Retriever, make_server
 
 
-def main(argv=None):
-    from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--config", required=True)
-    parser.add_argument("overrides", nargs="*")
-    args = parser.parse_args(argv)
-    cfg = load_config(args.config, args.overrides)
+def build_retriever(cfg) -> Retriever:
+    """All the serving wiring short of binding the socket (split out so
+    the suite can drive the full CLI path against a port-0 server)."""
     s = cfg.get("serve", {})
 
     tokenizer = build_tokenizer(cfg)
@@ -82,10 +76,27 @@ def main(argv=None):
     # warm the jit caches so the first request isn't a compile; k is a
     # static jit argument, so warm at the DEFAULT k real requests will use
     retriever.search(["warmup"], k=retriever.default_k)
+    return retriever
 
+
+def main(argv=None):
+    from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.overrides)
+    s = cfg.get("serve", {})
+
+    retriever = build_retriever(cfg)
     host, port = s.get("host", "0.0.0.0"), s.get("port", 8080)
     server = make_server(retriever, host, port)
-    print(f"Serving retrieval on {host}:{port} over {index.num_rows} passages")
+    print(
+        f"Serving retrieval on {host}:{port} over "
+        f"{retriever.index.num_rows} passages"
+    )
     server.serve_forever()
 
 

@@ -55,6 +55,57 @@ def test_rerank_cli_main(trec_files, tiny_bert_dir, tmp_path, rerank_type):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_serve_cli_wiring(trec_files, tiny_bert_dir, tmp_path):
+    """Drive the serve CLI's full wiring (config -> retriever -> HTTP
+    server) short of serve_forever: build via cli.serve.build_retriever,
+    bind port 0, answer one real POST /search."""
+    import http.client
+    import threading
+
+    from dpr_scale_tpu.cli.serve import build_retriever
+    from dpr_scale_tpu.config import load_config
+    from dpr_scale_tpu.retrieve.server import make_server
+
+    passages, _, _ = trec_files
+    rng = np.random.default_rng(1)
+    reps = rng.normal(size=(12, 16)).astype(np.float32)
+    emb_dir = tmp_path / "embs"
+    emb_dir.mkdir()
+    with open(emb_dir / "reps_0000.pkl", "wb") as f:
+        pickle.dump(reps, f, protocol=4)
+
+    cfg = load_config(
+        os.path.join(CONF, "tiny_smoke.yaml"),
+        [
+            f"task.transform.model_path={tiny_bert_dir}",
+            f"task.ctx_embeddings_dir={emb_dir}",
+            f"datamodule.passages_path={passages}",
+            "serve.method=fused", "serve.k=3",
+        ],
+    )
+    retriever = build_retriever(cfg)
+    server = make_server(retriever, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        conn.request(
+            "POST", "/search",
+            json.dumps({"questions": ["who wrote the book"], "k": 3}),
+            {"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        data = json.loads(resp.read())
+        assert resp.status == 200, data
+        (ctxs,) = data["results"]
+        assert len(ctxs) == 3
+        assert all(c["id"].startswith("d") for c in ctxs)
+        scores = [c["score"] for c in ctxs]
+        assert scores == sorted(scores, reverse=True)
+    finally:
+        server.shutdown()
+
+
 def test_run_retrieval_multiset_cli_main(trec_files, tiny_bert_dir, tmp_path):
     """Build the index ONCE, search two query sets (reference
     run_retrieval_multiset.py:107-161): outputs must match a numpy
