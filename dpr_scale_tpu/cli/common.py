@@ -69,15 +69,33 @@ def check_vocab_compat(tokenizer, model_cfg) -> None:
     torch crashes on an out-of-range embedding index; XLA gathers clamp or
     return garbage SILENTLY, surfacing as NaN losses several layers away —
     so the CLIs check up front."""
-    inner = getattr(tokenizer, "tokenizer", None)
-    vs = getattr(inner, "vocab_size", None)
-    if vs and vs > model_cfg.vocab_size:
+    inner = getattr(tokenizer, "tokenizer", tokenizer)
+    # len() on an HF tokenizer counts added tokens too; .vocab_size is the
+    # BASE vocab only, so len(tok) > tok.vocab_size is the common case
+    # that would slip past a vocab_size-only check
+    candidates = [getattr(inner, "vocab_size", None)]
+    try:
+        candidates.append(len(inner))
+    except TypeError:
+        pass
+    sizes = [int(v) for v in candidates if v]
+    if not sizes:
+        import warnings
+
+        warnings.warn(
+            "check_vocab_compat: cannot determine the tokenizer vocab size; "
+            "out-of-range token ids would surface as NaN losses (XLA gathers "
+            "do not trap)."
+        )
+        return
+    vs = max(sizes)
+    if vs > model_cfg.vocab_size:
         raise ValueError(
-            f"tokenizer vocab ({vs}) exceeds model vocab_size "
-            f"({model_cfg.vocab_size}): token ids would index past the "
-            f"embedding table, which XLA does not trap (it surfaces as NaN "
-            f"losses). Set task.model.vocab_size={vs} or use a matching "
-            f"tokenizer."
+            f"tokenizer vocab ({vs} ids incl. added tokens) exceeds model "
+            f"vocab_size ({model_cfg.vocab_size}): token ids would index "
+            f"past the embedding table, which XLA does not trap (it "
+            f"surfaces as NaN losses). Set task.model.vocab_size={vs} or "
+            f"use a matching tokenizer."
         )
 
 

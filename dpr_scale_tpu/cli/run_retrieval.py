@@ -79,7 +79,7 @@ def main(argv=None):
         ignore_identical_ids=cfg.task.get("ignore_identical_ids", False),
         host_resident=cfg.task.get("host_resident_index", False),
         method=cfg.task.get("mips_method", "fused"),
-        int8_query_planes=cfg.task.get("int8_query_planes", 1),
+        int8_query_planes=cfg.task.get("int8_query_planes"),
         index_store=cfg.task.get("index_store"),
         device_rows=cfg.task.get("device_rows"),
     )

@@ -76,9 +76,18 @@ def _stream_cfg(n_exp: int, L: int, D: int, itemsize: int) -> Tuple[int, int]:
     """(G, TL): experts per posting-group and L-tile for the streamed
     scorer, sized so one (G, TL, D) block is ~STREAM_CHUNK bytes."""
     if L * D * itemsize >= STREAM_CHUNK:
-        TL = max(8, STREAM_CHUNK // (D * itemsize))
+        target = max(8, STREAM_CHUNK // (D * itemsize))
+        # largest power of two <= target: the halving loop below must
+        # terminate at a real tile. Starting from the raw quotient (e.g.
+        # 1365 at D=768 bf16) it walks odd values until 2 — the first
+        # divisor of a pow2 L — handing Pallas a (1, 2, D) block that
+        # violates the (8, 128) TPU tiling minimum and runs L/2 grid
+        # steps per posting row. Bucket lengths are _pad_2bit values
+        # (m * 2^e, m in {2, 3}), so a pow2 TL always terminates >= 8.
+        TL = 1 << (target.bit_length() - 1)
         while L % TL:
             TL //= 2
+        assert TL >= 8 and L % TL == 0, (L, D, itemsize, TL)
         return 1, TL
     G = min(_stream_group_target(L, D, itemsize), n_exp)
     while n_exp % G:
@@ -575,9 +584,11 @@ class DeviceExpertIndex:
             (srows, -tot, sdocs), num_keys=2
         )
         row_starts = jnp.searchsorted(r2, jnp.arange(batch, dtype=r2.dtype))
-        row_ends = jnp.concatenate(
-            [row_starts[1:], jnp.full((1,), U, row_starts.dtype)]
-        )
+        # end of row b = first index with row > b. NOT row_starts shifted
+        # with U appended: pad entries carry row `batch` and sort AFTER the
+        # real rows, so closing the last row at U would leak pad doc ids
+        # (finite 0.0 scores) into its top-k whenever it touches < k docs.
+        row_ends = jnp.searchsorted(r2, jnp.arange(1, batch + 1, dtype=r2.dtype))
         idx = row_starts[:, None] + jnp.arange(k)[None, :]
         idx_c = jnp.clip(idx, 0, U - 1)
         cand_s = -negtot[idx_c]

@@ -64,7 +64,6 @@ def build_int8_store(
     order preserved = corpus order, as the reference relies on).
     Returns the manifest dict."""
     from dpr_scale_tpu.encode.embeddings import load_embedding_shard
-    from dpr_scale_tpu.index.mips import MipsIndex
 
     fp = _source_fingerprint(ctx_embeddings_dir)
     if not fp:
@@ -93,12 +92,34 @@ def build_int8_store(
                     pending[0] = head[need:]
                     got += need
             pending_rows -= take
-            emb = np.concatenate(parts) if len(parts) > 1 else parts[0]
-            n = emb.shape[0]
+            n = take
+            D = parts[0].shape[1]
             n_pad = (n + pad_multiple - 1) // pad_multiple * pad_multiple
-            padded = np.zeros((n_pad, emb.shape[1]), np.float32)
-            padded[:n] = emb
-            q8, sc, col = MipsIndex._quantize_int8_host(padded)
+            # chunked quantization: the obvious
+            # `_quantize_int8_host(padded_copy)` holds ~3 full fp32 copies
+            # of a 2M x 768 block (~18 GB peak) — a column-max pre-pass
+            # plus fixed-size row chunks keeps the peak at one chunk,
+            # bit-identical per-row math (same op order as
+            # MipsIndex._quantize_int8_host)
+            col = np.zeros((D,), np.float32)
+            for part in parts:
+                np.maximum(col, np.abs(part).max(axis=0), out=col)
+            col[col == 0.0] = 1.0
+            q8 = np.zeros((n_pad, D), np.int8)
+            sc = np.ones((n_pad,), np.float32)  # pad rows: q8=0 / scale=1
+            row0 = 0
+            CH = 262_144
+            for part in parts:
+                for lo in range(0, part.shape[0], CH):
+                    x = part[lo : lo + CH] / col[None, :]
+                    s = np.abs(x).max(axis=1) / 127.0
+                    s[s == 0.0] = 1.0
+                    q8[row0 : row0 + x.shape[0]] = np.clip(
+                        np.rint(x / s[:, None]), -127, 127
+                    )
+                    sc[row0 : row0 + x.shape[0]] = s
+                    row0 += x.shape[0]
+            assert row0 == n
             bi = len(blocks)
             np.save(os.path.join(store_dir, f"block_{bi:04}.q8.npy"), q8)
             np.save(os.path.join(store_dir, f"block_{bi:04}.sc.npy"), sc)

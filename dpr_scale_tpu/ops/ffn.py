@@ -197,6 +197,34 @@ def fused_ffn(x, w1, b1, w2, b2, seed, rate: float = 0.0,
     return y
 
 
+def _ffn_core_bwd(x_in, w1, w2, pre, dz):
+    """Shared FFN backward core (used by both fused_ffn VJPs): given the
+    post-dropout output cotangent ``dz`` (compute dtype), return
+    (dx, dw1, dw2, db1) — all fp32 accumulations. ``db2 = sum(dz)`` and
+    the dropout-mask recovery stay in the callers (their dz dtypes
+    differ)."""
+    w1c = w1.astype(x_in.dtype)
+    w2c = w2.astype(x_in.dtype)
+    pre_f = pre.astype(jnp.float32)
+    # dh = dz @ w2^T ; dpre = dh * gelu'(pre)
+    dh = jax.lax.dot_general(
+        dz, w2c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dpre = (dh * _dgelu(pre_f)).astype(x_in.dtype)
+    dx = jax.lax.dot_general(
+        dpre, w1c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw1 = jax.lax.dot_general(
+        x_in, dpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = _gelu(pre_f).astype(x_in.dtype)
+    dw2 = jax.lax.dot_general(
+        h, dz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=0)
+    return dx, dw1, dw2, db1
+
+
 def _fused_ffn_fwd(x, w1, b1, w2, b2, seed, rate, interpret):
     y, pre, Np = _fwd_impl(x, w1, b1, w2, b2, seed, rate, interpret)
     return y, (x, w1, w2, pre, y, seed, Np)
@@ -213,29 +241,12 @@ def _fused_ffn_bwd(rate, interpret, res, g):
     x, w1, w2, pre, y, seed, Np = res
     N = x.shape[0]
     pre = pre[:N]
-    w1c = w1.astype(x.dtype)
-    w2c = w2.astype(x.dtype)
     if rate > 0.0:
         dz = jnp.where(y != 0, g * (1.0 / (1.0 - rate)), 0).astype(x.dtype)
     else:
         dz = g.astype(x.dtype)
-    pre_f = pre.astype(jnp.float32)
-    # dh = dz @ w2^T ; dpre = dh * gelu'(pre)
-    dh = jax.lax.dot_general(
-        dz, w2c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dpre = (dh * _dgelu(pre_f)).astype(x.dtype)
-    dx = jax.lax.dot_general(
-        dpre, w1c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
-    dw1 = jax.lax.dot_general(
-        x, dpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    h = _gelu(pre_f).astype(x.dtype)
-    dw2 = jax.lax.dot_general(
-        h, dz, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    db1 = jnp.sum(dpre.astype(jnp.float32), axis=0)
+    dx, dw1, dw2, db1 = _ffn_core_bwd(x, w1, w2, pre, dz)
+    dx = dx.astype(x.dtype)
     db2 = jnp.sum(dz.astype(jnp.float32), axis=0)
     import numpy as np
 
@@ -456,25 +467,8 @@ def _fused_ffn_ln_bwd(rate, eps, interpret, res, g):
     else:
         dz = ds
     dzc = dz.astype(x1.dtype)
-    w1c = w1.astype(x1.dtype)
-    w2c = w2.astype(x1.dtype)
-    pre_f = pre.astype(jnp.float32)
-    dh = jax.lax.dot_general(
-        dzc, w2c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dpre = (dh * _dgelu(pre_f)).astype(x1.dtype)
-    dx1_ffn = jax.lax.dot_general(
-        dpre, w1c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dw1 = jax.lax.dot_general(
-        x1, dpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    h = _gelu(pre_f).astype(x1.dtype)
-    dw2 = jax.lax.dot_general(
-        h, dzc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    db1 = jnp.sum(dpre.astype(jnp.float32), axis=0)
-    db2 = jnp.sum(dz, axis=0)
+    dx1_ffn, dw1, dw2, db1 = _ffn_core_bwd(x1, w1, w2, pre, dzc)
+    db2 = jnp.sum(dz, axis=0)  # fp32 dz (pre-cast), unlike _fused_ffn_bwd
     dx1 = ds + dx1_ffn  # LN2 residual branch + FFN branch
     dr, dg1, dbe1 = _ln_bwd_f32(
         r.astype(jnp.float32), g1.astype(jnp.float32), dx1, eps

@@ -108,7 +108,7 @@ def retrieve(
     index: Optional[MipsIndex] = None,
     host_resident: bool = False,
     method: str = "fused",
-    int8_query_planes: int = 1,
+    int8_query_planes: Optional[int] = None,
     index_store: Optional[str] = None,
     device_rows: Optional[int] = None,
 ) -> List[List[Dict]]:
@@ -118,6 +118,10 @@ def retrieve(
             ctx_embeddings_dir, mesh, host_resident=host_resident, method=method,
             index_store=index_store, device_rows=device_rows,
         )
+    # applies to prebuilt indexes too (multiset flows reuse one index
+    # across query sets); None leaves a prebuilt index's setting alone.
+    # A static jit arg, so mutation is safe.
+    if int8_query_planes is not None:
         index.int8_query_planes = int(int8_query_planes)
     passages = CSVDataset(passages_path)
 

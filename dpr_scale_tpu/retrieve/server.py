@@ -117,8 +117,19 @@ class Retriever:
                     r.scores, r.rows = scores[off : off + m], rows[off : off + m]
                     off += m
             except Exception as e:  # noqa: BLE001 — propagate to callers
-                for r in batch:
-                    r.error = e
+                if len(batch) == 1:
+                    batch[0].error = e
+                else:
+                    # isolate the poisoned request: a coalesced neighbor's
+                    # bad input must not fail unrelated callers — retry
+                    # each request alone (rare path, one pipeline run each)
+                    for r in batch:
+                        try:
+                            r.scores, r.rows = self._run_pipeline(
+                                r.texts, r.k_searched
+                            )
+                        except Exception as e_r:  # noqa: BLE001
+                            r.error = e_r
             for r in batch:
                 r.event.set()
 

@@ -397,67 +397,20 @@ class MultiVecRetrieverTask:
         return shard_batch(batch, self.mesh)
 
     def _step_dropout_rng(self, state):
+        from dpr_scale_tpu.train.gradcache import wrap_rng
+
         step_rng = jax.random.fold_in(state.dropout_rng, state.step)
-        if self.dropout_rng_impl == "rbg":
-            data = jax.random.key_data(step_rng)
-            step_rng = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
-        return step_rng
-
-    def _wrap_rng(self, key):
-        if self.dropout_rng_impl == "rbg":
-            data = jax.random.key_data(key)
-            key = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
-        return key
-
-    @staticmethod
-    def _gc_diff(repr_dict: Dict) -> Dict:
-        """The differentiated slice of an encoder output: float leaves with
-        a batch axis, in sorted-key order (stable structure between the
-        phase-2 grad and the phase-3 cotangent)."""
-        return {
-            k: v
-            for k in sorted(repr_dict)
-            if jnp.issubdtype((v := repr_dict[k]).dtype, jnp.floating)
-            and v.ndim >= 1
-        }
+        return wrap_rng(step_rng, self.dropout_rng_impl)
 
     def _grad_cache_grads(self, params, batch, base_rng, epoch):
         """(loss, metrics, grads) equal to the monolithic step at
-        O(B/grad_cache_chunks) activation memory (``grad_cache_chunks``
-        field note; same three-phase scheme as the dense task)."""
-        C = self.grad_cache_chunks
-        B = batch["query_ids"].shape[0]
-        nctx = batch["contexts_ids"].shape[0]
-        ratio = nctx // B
-        assert B % C == 0 and nctx == B * ratio, (B, nctx, C)
-        chunk_keys = jax.random.split(base_rng, C)
-
-        # strided chunking: chunk g = rows {g, C+g, ...} so every chunk
-        # stays evenly data-sharded (see DenseRetrieverTask)
-        def q_chunks(x):
-            return x.reshape(B // C, C, *x.shape[1:]).swapaxes(0, 1)
-
-        def c_chunks(x):
-            xr = x.reshape(B // C, C, ratio, *x.shape[1:]).swapaxes(0, 1)
-            return xr.reshape(C, (B // C) * ratio, *x.shape[1:])
-
-        def q_unchunk(x):
-            return x.swapaxes(0, 1).reshape(B, *x.shape[2:])
-
-        def c_unchunk(x):
-            xr = x.reshape(C, B // C, ratio, *x.shape[2:]).swapaxes(0, 1)
-            return xr.reshape(nctx, *x.shape[2:])
-
-        xs = (
-            q_chunks(batch["query_ids"]),
-            q_chunks(batch["query_mask"]),
-            c_chunks(batch["contexts_ids"]),
-            c_chunks(batch["contexts_mask"]),
-            chunk_keys,
-        )
+        O(B/grad_cache_chunks) activation memory — the dict-output form
+        of :mod:`dpr_scale_tpu.train.gradcache` (see the
+        ``grad_cache_chunks`` field note)."""
+        from dpr_scale_tpu.train.gradcache import grad_cache_grads, wrap_rng
 
         def encode_chunk(p, qi, qm, ci, cm, key):
-            rngs = {"dropout": self._wrap_rng(key)}
+            rngs = {"dropout": wrap_rng(key, self.dropout_rng_impl)}
             q_repr = self.model.apply(
                 {"params": p}, qi, qm, topk=self.query_topk,
                 add_cls=self.add_cls, deterministic=False, rngs=rngs,
@@ -468,71 +421,29 @@ class MultiVecRetrieverTask:
             )
             return q_repr, c_repr
 
-        # phase 1: cache the dict outputs, no grad graph
-        def enc(_, x):
-            qi, qm, ci, cm, key = x
-            return None, encode_chunk(params, qi, qm, ci, cm, key)
-
-        _, (q_stack, c_stack) = jax.lax.scan(enc, None, xs)
-
-        def unchunk(stack, un):
-            full = {}
-            for k, v in stack.items():
-                if v.ndim >= 2:
-                    full[k] = un(v)
-                # per-chunk scalars (stacked to (C,)) are dropped here and
-                # recomputed from the unchunked planes below
-            return full
-
-        q_full = unchunk(q_stack, q_unchunk)
-        c_full = unchunk(c_stack, c_unchunk)
-        for full in (q_full, c_full):
-            if "router_mask" in full:  # exact global-batch stats
-                rm = full["router_mask"]
-                full["avg_cond_num_experts"] = jnp.mean(jnp.sum(rm, axis=1))
-                full["avg_marg_num_experts"] = jnp.sum(jnp.max(rm, axis=0))
-
-        # phase 2: loss + cotangents w.r.t. the float batch-leading leaves
-        q_diff, c_diff = self._gc_diff(q_full), self._gc_diff(c_full)
-        q_stat = {k: v for k, v in q_full.items() if k not in q_diff}
-        c_stat = {k: v for k, v in c_full.items() if k not in c_diff}
-
-        def emb_loss(qd, cd):
+        def loss_on_reprs(q_full, c_full):
+            q_full, c_full = dict(q_full), dict(c_full)
+            for full in (q_full, c_full):
+                if "router_mask" in full:
+                    # batch stats recomputed EXACTLY from the unchunked
+                    # plane (avg_marg is a max over the GLOBAL batch, so
+                    # per-chunk values cannot be averaged)
+                    rm = full["router_mask"]
+                    full["avg_cond_num_experts"] = jnp.mean(jnp.sum(rm, axis=1))
+                    full["avg_marg_num_experts"] = jnp.sum(jnp.max(rm, axis=0))
             return self.compute_loss(
-                {**q_stat, **qd},
-                {**c_stat, **cd},
+                q_full,
+                c_full,
                 batch["ctx_mask"],
                 batch["pos_ctx_indices"],
                 batch["scores"],
                 epoch,
             )
 
-        (loss, metrics), (dq, dc) = jax.value_and_grad(
-            emb_loss, argnums=(0, 1), has_aux=True
-        )(q_diff, c_diff)
-
-        # phase 3: re-encode each chunk under vjp against its cotangent
-        dq_chunks = jax.tree_util.tree_map(q_chunks, dq)
-        dc_chunks = jax.tree_util.tree_map(c_chunks, dc)
-
-        def chunk_grad(acc, x):
-            qi, qm, ci, cm, key, dq_i, dc_i = x
-            def diff_out(p):
-                q_repr, c_repr = encode_chunk(p, qi, qm, ci, cm, key)
-                return self._gc_diff(q_repr), self._gc_diff(c_repr)
-
-            _, vjp = jax.vjp(diff_out, params)
-            (g,) = vjp((dq_i, dc_i))
-            return jax.tree_util.tree_map(jnp.add, acc, g), None
-
-        zero = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        return grad_cache_grads(
+            params, batch, base_rng, self.grad_cache_chunks,
+            encode_chunk, loss_on_reprs,
         )
-        grads, _ = jax.lax.scan(chunk_grad, zero, (*xs, dq_chunks, dc_chunks))
-        grads = jax.tree_util.tree_map(
-            lambda g, p: g.astype(p.dtype), grads, params
-        )
-        return loss, metrics, grads
 
     def make_train_step(self) -> Callable:
         if self._train_step is not None:

@@ -129,13 +129,10 @@ class DenseRetrieverTask:
         """Per-step dropout key; optionally re-wrapped for the TPU's fast
         native bit generator (mask bits then may differ across shardings
         and jax versions — fine for dropout noise)."""
+        from dpr_scale_tpu.train.gradcache import wrap_rng
+
         step_rng = jax.random.fold_in(state.dropout_rng, state.step)
-        if self.dropout_rng_impl == "rbg":
-            data = jax.random.key_data(step_rng)
-            step_rng = jax.random.wrap_key_data(
-                jnp.tile(data, 2)[:4], impl="rbg"
-            )
-        return step_rng
+        return wrap_rng(step_rng, self.dropout_rng_impl)
 
     def _loss_fn(self, params, batch, dropout_rng):
         q_repr, c_repr = self.model.apply(
@@ -157,95 +154,32 @@ class DenseRetrieverTask:
         )
         return loss, scores
 
-    def _wrap_rng(self, key):
-        if self.dropout_rng_impl == "rbg":
-            data = jax.random.key_data(key)
-            key = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
-        return key
-
     def _grad_cache_grads(self, params, batch, base_rng):
         """(loss, grads) with gradients EQUAL to the monolithic step but
         activation memory bounded by B/grad_cache_chunks (see the
-        ``grad_cache_chunks`` field note)."""
-        C = self.grad_cache_chunks
-        B = batch["query_ids"].shape[0]
-        nctx = batch["contexts_ids"].shape[0]
-        ratio = nctx // B
-        assert B % C == 0 and nctx == B * ratio, (B, nctx, C)
-        chunk_keys = jax.random.split(base_rng, C)
-
-        # strided chunking keeps every chunk evenly data-sharded: the
-        # reshape splits the block-sharded leading axis into
-        # (B/C blocks, C) locally, so chunk g = rows {g, C+g, ...} and
-        # slicing [:, g] moves no data across devices
-        def q_chunks(x):
-            return x.reshape(B // C, C, *x.shape[1:]).swapaxes(0, 1)
-
-        def c_chunks(x):
-            xr = x.reshape(B // C, C, ratio, *x.shape[1:]).swapaxes(0, 1)
-            return xr.reshape(C, (B // C) * ratio, *x.shape[1:])
-
-        xs = (
-            q_chunks(batch["query_ids"]),
-            q_chunks(batch["query_mask"]),
-            c_chunks(batch["contexts_ids"]),
-            c_chunks(batch["contexts_mask"]),
-            chunk_keys,
-        )
+        ``grad_cache_chunks`` field note and
+        :mod:`dpr_scale_tpu.train.gradcache`)."""
+        from dpr_scale_tpu.train.gradcache import grad_cache_grads, wrap_rng
 
         def encode_chunk(p, qi, qm, ci, cm, key):
-            return self.model.apply(
+            q_emb, c_emb = self.model.apply(
                 {"params": p}, qi, qm, ci, cm,
                 deterministic=False,
-                rngs={"dropout": self._wrap_rng(key)},
+                rngs={"dropout": wrap_rng(key, self.dropout_rng_impl)},
             )
+            return {"emb": q_emb}, {"emb": c_emb}
 
-        # phase 1: embeddings only — nothing differentiated, so scan
-        # keeps exactly one chunk's activations live
-        def enc(_, x):
-            qi, qm, ci, cm, key = x
-            return None, encode_chunk(params, qi, qm, ci, cm, key)
-
-        _, (q_emb, c_emb) = jax.lax.scan(enc, None, xs)
-        D = q_emb.shape[-1]
-        q_all = q_emb.swapaxes(0, 1).reshape(B, D)
-        c_all = (
-            c_emb.reshape(C, B // C, ratio, D).swapaxes(0, 1).reshape(nctx, D)
-        )
-
-        # phase 2: loss + embedding cotangents (cheap: (B, D) matrices)
-        def emb_loss(q, c):
+        def loss_on_reprs(q_full, c_full):
             loss, _scores = contrastive_loss(
-                q, c, batch["pos_ctx_indices"], batch["ctx_mask"],
+                q_full["emb"], c_full["emb"],
+                batch["pos_ctx_indices"], batch["ctx_mask"],
                 self.softmax_temperature, self.in_batch_negatives,
             )
-            return loss
-        loss, (dq_all, dc_all) = jax.value_and_grad(emb_loss, argnums=(0, 1))(
-            q_all, c_all
-        )
-        dq = dq_all.reshape(B // C, C, D).swapaxes(0, 1)
-        dc = (
-            dc_all.reshape(B // C, C, ratio, D)
-            .swapaxes(0, 1)
-            .reshape(C, (B // C) * ratio, D)
-        )
+            return loss, {}
 
-        # phase 3: re-encode each chunk under vjp against its cotangent
-        # slice; param grads accumulate across chunks (gradient linearity)
-        def chunk_grad(acc, x):
-            qi, qm, ci, cm, key, dq_i, dc_i = x
-            _, vjp = jax.vjp(
-                lambda p: encode_chunk(p, qi, qm, ci, cm, key), params
-            )
-            (g,) = vjp((dq_i, dc_i))
-            return jax.tree_util.tree_map(jnp.add, acc, g), None
-
-        zero = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params
-        )
-        grads, _ = jax.lax.scan(chunk_grad, zero, (*xs, dq, dc))
-        grads = jax.tree_util.tree_map(
-            lambda g, p: g.astype(p.dtype), grads, params
+        loss, _aux, grads = grad_cache_grads(
+            params, batch, base_rng, self.grad_cache_chunks,
+            encode_chunk, loss_on_reprs,
         )
         return loss, grads
 

@@ -678,6 +678,32 @@ def test_int8_store_roundtrip_matches_direct_add(tmp_path):
     np.testing.assert_allclose(sd, sl, rtol=1e-5)
 
 
+def test_int8_store_chunked_quantization_bit_exact(tmp_path):
+    """The store's memory-bounded chunked quantizer (column-max pre-pass
+    + row chunks) must produce BIT-identical planes to
+    MipsIndex._quantize_int8_host on the padded block."""
+    from dpr_scale_tpu.index import build_int8_store
+
+    emb_dir, corpus = _store_fixture(tmp_path)
+    store = str(tmp_path / "store")
+    manifest = build_int8_store(
+        emb_dir, store, max_block_rows=1024, pad_multiple=512
+    )
+    lo = 0
+    for bi, b in enumerate(manifest["blocks"]):
+        n, n_pad = b["n_valid"], b["n_pad"]
+        padded = np.zeros((n_pad, corpus.shape[1]), np.float32)
+        padded[:n] = corpus[lo : lo + n]
+        q8_ref, sc_ref, col_ref = MipsIndex._quantize_int8_host(padded)
+        q8 = np.load(os.path.join(store, f"block_{bi:04}.q8.npy"))
+        sc = np.load(os.path.join(store, f"block_{bi:04}.sc.npy"))
+        col = np.load(os.path.join(store, f"block_{bi:04}.col.npy"))
+        np.testing.assert_array_equal(q8, q8_ref)
+        np.testing.assert_array_equal(sc, sc_ref)
+        np.testing.assert_array_equal(col, col_ref)
+        lo += n
+
+
 def test_int8_store_staleness_detection(tmp_path):
     from dpr_scale_tpu.index import build_int8_store, store_is_current
 

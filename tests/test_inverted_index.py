@@ -252,6 +252,61 @@ def test_device_index_expert_parallel_large_corpus():
         np.testing.assert_allclose(dense_s, dense_h, rtol=1e-4, atol=1e-4)
 
 
+def test_stream_cfg_tiles_are_hardware_legal():
+    """Regression: at D=768 bf16 the L-tile target is 1365 (odd), and the
+    divisibility halving walked it down to a degenerate TL=2 — below the
+    (8, 128) TPU tiling minimum — for EVERY pow2 bucket length. TL must
+    be a power of two >= 8 that divides L, near the stream-chunk target."""
+    from dpr_scale_tpu.index.inverted_device import STREAM_CHUNK, _stream_cfg
+
+    for D, itemsize in ((768, 2), (768, 4), (128, 2), (96, 4)):
+        for L in (2048, 3072, 4096, 6144, 65536, 131072):
+            if L * D * itemsize < STREAM_CHUNK:
+                continue
+            G, TL = _stream_cfg(1, L, D, itemsize)
+            assert G == 1
+            assert TL >= 8 and TL & (TL - 1) == 0 and L % TL == 0, (
+                D, itemsize, L, TL,
+            )
+            # within 2x of the chunk target (not degenerate-small)
+            assert TL * D * itemsize > STREAM_CHUNK // 4, (D, itemsize, L, TL)
+
+
+def test_sorted_combine_last_row_pad_isolation():
+    """Regression: pad entries (row == batch, real doc ids, value 0.0)
+    sort AFTER the real rows, and the last row's segment end used to be
+    set to U — so a last row touching < k docs got pad doc ids with
+    score 0.0 in its top-k, displacing its real (negative-score) docs."""
+    import jax.numpy as jnp
+
+    from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
+
+    idx = DeviceExpertIndex.__new__(DeviceExpertIndex)
+    idx.num_docs = 100_000
+    batch, k = 2, 4
+    rows = np.array([0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 2, 2], np.int32)
+    docs = np.array([10, 20, 30, 40, 50, 60, 7, 8, 11, 22, 33, 44], np.int32)
+    vals = np.array(
+        [5.0, 4.0, 3.0, 2.0, 1.0, 0.5, -1.0, -2.0, 0.0, 0.0, 0.0, 0.0],
+        np.float32,
+    )
+    s, d = jax.jit(
+        lambda r, dd, v: idx._combine_updates_sorted(
+            jnp.asarray(r), jnp.asarray(dd), jnp.asarray(v), batch, k, 1
+        )
+    )(rows, docs, vals)
+    s, d = np.asarray(s), np.asarray(d)
+    # row 0: plain top-4
+    np.testing.assert_array_equal(d[0], [10, 20, 30, 40])
+    np.testing.assert_allclose(s[0], [5.0, 4.0, 3.0, 2.0])
+    # row 1 touched only 2 docs (both negative): the remaining slots must
+    # be masked placeholders, NOT the pad entries' doc ids at 0.0
+    assert set(d[1][:2]) == {7, 8}
+    np.testing.assert_allclose(sorted(s[1][:2], reverse=True), [-1.0, -2.0])
+    np.testing.assert_array_equal(d[1][2:], 0)
+    np.testing.assert_allclose(s[1][2:], 0.0)
+
+
 @pytest.mark.parametrize("add_cls", [False, True])
 def test_device_index_expert_parallel_matches_host(add_cls, tmp_path):
     """Expert-parallel (mesh-sharded) device search == host search ==

@@ -122,6 +122,78 @@ def test_search_k_cap_and_bucketing(server_setup):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_coalesced_failure_isolation(server_setup, tmp_path):
+    """A poisoned request coalesced with a healthy one must not fail the
+    healthy caller: the worker retries each request alone on batch error."""
+    d = tmp_path
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "passage", "text",
+             "title", "query"] + [str(i) for i in range(20)]
+    (d / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    from transformers import BertTokenizerFast
+
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    base_tok = HFTokenizer(str(d), max_seq_len=12)
+
+    class PoisonTokenizer:
+        """Raises on a marker text — stands in for any per-request
+        pipeline failure (bad input, tokenizer edge case)."""
+
+        max_seq_len = 12
+
+        def __call__(self, texts):
+            if any("POISON" in t for t in texts):
+                raise RuntimeError("poisoned input")
+            return base_tok(texts)
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(vocab_size=len(vocab)), dtype=jnp.float32
+    )
+    model = BiEncoder(cfg, shared=True)
+    ids = jnp.ones((2, 12), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, ids, ids, ids)["params"]
+    mesh = get_mesh(8)
+    encoder = CorpusEncoder(model, params, mesh, use_query_tower=True)
+    ctx_encoder = CorpusEncoder(model, params, mesh)
+    _, passages = server_setup
+    texts = [passages[i]["text"] for i in range(20)]
+    cids, cmask = base_tok(texts)
+    emb = np.asarray(ctx_encoder._encode(params, cids, cmask), np.float32)
+    index = MipsIndex(mesh, dtype=jnp.float32)
+    index.add(emb)
+    retriever = Retriever(
+        encoder, PoisonTokenizer(), index, passages,
+        default_k=3, coalesce_wait_ms=250.0,
+    )
+    # warm the jit paths so the coalesce window isn't eaten by compiles
+    assert retriever.search(["passage text 5"], k=3)
+
+    results = {}
+    errors = {}
+    barrier = threading.Barrier(2)
+
+    def call(name, text):
+        barrier.wait()
+        if name == "good":
+            import time as _t
+
+            _t.sleep(0.02)  # land inside the poisoned request's window
+        try:
+            results[name] = retriever.search([text], k=3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = e
+
+    threads = [
+        threading.Thread(target=call, args=("bad", "POISON me")),
+        threading.Thread(target=call, args=("good", "passage text 7")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert "bad" in errors and "poisoned" in str(errors["bad"])
+    assert "good" in results and len(results["good"][0]) == 3
+
+
 def test_search_roundtrip_int8(server_setup, tmp_path):
     """The int8 serving index behind the same Retriever surface: a query
     identical to a passage must still retrieve it first (quantization
