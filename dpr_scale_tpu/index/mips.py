@@ -74,6 +74,16 @@ RESCUE_PAIRS_PER_QUERY = 2  # gathered (query, group) pairs per batch after
 # compaction, scaled with batch size (~1.3 positive pairs per query
 # measured at B=512 on random 2.1M x 768; overflow queries fall back
 # exactly). The budget is per batch: clean queries donate their slack.
+COUNT_MARGIN_REL = 2e-5  # the verification's two count sources use
+# DIFFERENT matmul orderings (approx pass vs count kernel), so a
+# candidate whose two scores straddle tau by an ulp could cancel a
+# genuine approx miss in the same group (diff = +1 - 1 = 0) and ship a
+# silently wrong "verified-exact" top-k. Candidates are therefore only
+# credited when they clear tau by this margin — a sure-side undercount
+# of `found`, so a true miss always leaves diff > 0 (at worst a clean
+# group is spuriously rescued / a clean query spuriously falls back,
+# both exact). Bound: fp32 accumulation-order disagreement is
+# ~sqrt(D) * 2^-24 ≈ 2e-6 relative at D=768; 2e-5 gives 10x headroom.
 
 
 def merge_topk_batched(
@@ -141,10 +151,13 @@ class MipsIndex:
         use_pallas_count: bool = False,
     ):
         """``host_resident=True`` keeps blocks in host RAM (pre-padded,
-        pre-converted) and streams each through a reusable device buffer at
-        search time — for corpora larger than total HBM (e.g. 21M x 768
-        bf16 = 32GB on chips with 16GB each). Per-block state (one upload
-        per block per search call) trades bandwidth for capacity."""
+        pre-converted) and streams them through the device at search time —
+        for corpora larger than total HBM (e.g. 21M x 768 bf16 = 32GB on
+        chips with 16GB each). One upload per block per search call trades
+        bandwidth for capacity. NOTE the peak device footprint is TWO
+        streamed blocks, not one: the next block's upload is pipelined
+        against the current block's search (that overlap is most of the
+        streaming throughput) — size blocks to at most ~half of free HBM."""
         assert method in ("groupmax", "fused", "auto", "approx", "exact_sort", "int8")
         # int8 + host_resident composes: blocks stream as int8 (HALF the
         # upload bytes of bf16 — the streaming mode is upload-bound)
@@ -234,21 +247,21 @@ class MipsIndex:
             # device round-trip — see _quantize_int8_host). Pad rows get
             # scale 1 so their scores stay exactly 0.
             q8, sc, col = self._quantize_int8_host(emb)
-            emb_dev = jax.device_put(jnp.asarray(q8), row_sharded)
+            emb_dev = jax.device_put(q8, row_sharded)
             sc_dev = jax.device_put(
-                jnp.asarray(sc, jnp.float32), NamedSharding(self.mesh, P("data"))
+                np.asarray(sc, np.float32), NamedSharding(self.mesh, P("data"))
             )
             col_dev = jax.device_put(
-                jnp.asarray(col, jnp.float32), NamedSharding(self.mesh, P(None))
+                np.asarray(col, np.float32), NamedSharding(self.mesh, P(None))
             )
-            valid_dev = jax.device_put(jnp.asarray(valid), row_sharded)
+            valid_dev = jax.device_put(valid, row_sharded)
             self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
             self._scales.append(sc_dev)
             self._colscales.append(col_dev)
             self._total_rows += n
             return
-        emb_dev = jax.device_put(jnp.asarray(emb, self.dtype), row_sharded)
-        valid_dev = jax.device_put(jnp.asarray(valid), row_sharded)
+        emb_dev = jax.device_put(emb.astype(np.dtype(self.dtype)), row_sharded)
+        valid_dev = jax.device_put(valid, row_sharded)
         self._blocks.append((emb_dev, valid_dev, n, self._total_rows))
         self._scales.append(None)
         self._colscales.append(None)
@@ -258,15 +271,19 @@ class MipsIndex:
         """Host-resident blocks stream through the device on demand."""
         if isinstance(emb, np.ndarray):
             row_sharded = NamedSharding(self.mesh, P("data", None))
-            emb = jax.device_put(jnp.asarray(emb), row_sharded)
-            valid = jax.device_put(jnp.asarray(valid), row_sharded)
+            # device_put straight from numpy: jnp.asarray would first
+            # commit the whole block to the default device and pay a
+            # second device-to-device reshard (and transiently hold the
+            # full block on ONE device)
+            emb = jax.device_put(emb, row_sharded)
+            valid = jax.device_put(valid, row_sharded)
             if scales is not None and isinstance(scales, np.ndarray):
                 scales = jax.device_put(
-                    jnp.asarray(scales), NamedSharding(self.mesh, P("data"))
+                    scales, NamedSharding(self.mesh, P("data"))
                 )
             if col is not None and isinstance(col, np.ndarray):
                 col = jax.device_put(
-                    jnp.asarray(col), NamedSharding(self.mesh, P(None))
+                    col, NamedSharding(self.mesh, P(None))
                 )
         return emb, valid, scales, col
 
@@ -281,11 +298,12 @@ class MipsIndex:
         n_pad, d = emb_dev.shape
         if self._dim is None:
             self._dim = d
+        assert d == self._dim, "inconsistent embedding dim across blocks"
         n = n_valid if n_valid is not None else n_pad
         row_sharded = NamedSharding(self.mesh, P("data", None))
         valid = np.zeros((n_pad, 1), dtype=np.bool_)
         valid[:n] = True
-        valid_dev = jax.device_put(jnp.asarray(valid), row_sharded)
+        valid_dev = jax.device_put(valid, row_sharded)
         if n < n_pad:
             emb_dev = jax.jit(
                 lambda e, v: e * v.astype(e.dtype), out_shardings=row_sharded
@@ -336,6 +354,7 @@ class MipsIndex:
         assert q8_dev.dtype == jnp.int8 and scales_dev.shape == (n_pad,)
         if self._dim is None:
             self._dim = d
+        assert d == self._dim, "inconsistent embedding dim across blocks"
         n = n_valid if n_valid is not None else n_pad
         row_sharded = NamedSharding(self.mesh, P("data", None))
         valid = np.zeros((n_pad, 1), dtype=np.bool_)
@@ -526,7 +545,11 @@ class MipsIndex:
         s, i = self._topk_block_impl(emb, valid, q, k, True)
         tau = s[:, k - 1]
         cnt = self._count_above_impl(emb, valid, q, tau)
-        found_gt = jnp.sum(s > tau[:, None], axis=1)
+        # margin: see COUNT_MARGIN_REL — candidates credited only when
+        # surely above tau under either matmul ordering, so a straddler
+        # cannot cancel a genuine miss in the global count
+        tau_hi = tau + COUNT_MARGIN_REL * jnp.abs(tau)
+        found_gt = jnp.sum(s > tau_hi[:, None], axis=1)
         return s, i, cnt != found_gt
 
     # ------------------------------------------------------------------ #
@@ -542,10 +565,12 @@ class MipsIndex:
 
         n_pad, _D = emb.shape
         rows_local = n_pad // self.ndev
-        # without a verification pass, recall comes from candidate depth
-        # and the reduction's recall_target: 4x oversampling + 0.99 target
-        # measures 0.9991 recall@100 over 2.1M rows (0.988 at kc=128/0.95);
-        # the sweep stays matmul-bound either way
+        # without a verification pass, recall comes from candidate depth:
+        # 4x oversampling at approx_max_k's DEFAULT recall_target (0.95)
+        # measures 0.994 recall@100 over 2.1M rows. recall_target=0.99 was
+        # probed and REJECTED (docs/STATUS.md: +0.005 recall for ~4x the
+        # reduction cost — exact `fused` dominates that point); tune depth
+        # via the kc oversampling, not the reduction target.
         kc = min(max(4 * k, FUSED_KC), rows_local)
         qd = q.astype(self.dtype)
 
@@ -564,6 +589,10 @@ class MipsIndex:
         cand_s = jnp.where(cand_i < n_valid, cand_s, NEG_INF)  # mask pads
         fs, fpos = jax.lax.top_k(cand_s, k)
         fi = jnp.take_along_axis(cand_i, fpos, axis=1)
+        # masked entries (pad rows / short pools) surface as index -1, the
+        # convention rows_to_ctxs skips — a raw pad index would alias a
+        # REAL row of the next block after the multi-block offset add
+        fi = jnp.where(fs <= NEG_INF, -1, fi)
         return fs, fi
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
@@ -589,6 +618,7 @@ class MipsIndex:
         from dpr_scale_tpu.ops.mips_kernels import (
             GROUP_ROWS,
             GROUP_TILE_ROWS,
+            TILE_B,
             count_above_groups_kernel,
         )
 
@@ -623,7 +653,7 @@ class MipsIndex:
         use_pallas = (
             group == GROUP_ROWS
             and rows_local % GROUP_TILE_ROWS == 0
-            and (B % min(256, B) == 0)
+            and (B % min(TILE_B, B) == 0)  # the kernel's own batch-tile
         )
 
         def local_count(emb_l, qd, tau):
@@ -657,9 +687,13 @@ class MipsIndex:
         )
         cnt = cnt - jnp.where(tau[:, None] < 0.0, pad_counts[None, :], 0)
 
-        # ---- verification: per-group found counts vs true counts ----
+        # ---- verification: per-group found counts vs true counts.
+        # Candidates must clear tau by the ordering-noise margin to be
+        # credited (COUNT_MARGIN_REL note) so a straddler cannot cancel
+        # a genuine miss in the same group. ----
         gid = cand_i // group  # (B, C)
-        above = (cand_s > tau[:, None]).astype(jnp.int32)
+        tau_hi = tau + COUNT_MARGIN_REL * jnp.abs(tau)
+        above = (cand_s > tau_hi[:, None]).astype(jnp.int32)
         found = (
             jnp.zeros((B, ngroups), jnp.int32)
             .at[jnp.arange(B)[:, None], gid]
@@ -741,6 +775,7 @@ class MipsIndex:
         )
         fs, fpos = jax.lax.top_k(all_s, k)
         fi = jnp.take_along_axis(all_i, fpos, axis=1)
+        fi = jnp.where(fs <= NEG_INF, -1, fi)  # pad/masked rows -> -1
         return fs, fi, not_exact
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
@@ -813,6 +848,10 @@ class MipsIndex:
         cand_s = jnp.where(cand_i < n_valid, cand_s, NEG_INF)  # mask pads
         fs, fpos = jax.lax.top_k(cand_s, k)
         fi = jnp.take_along_axis(cand_i, fpos, axis=1)
+        # masked entries (pad rows / short pools) surface as index -1, the
+        # convention rows_to_ctxs skips — a raw pad index would alias a
+        # REAL row of the next block after the multi-block offset add
+        fi = jnp.where(fs <= NEG_INF, -1, fi)
         return fs, fi
 
     def _serving_multi_impl(self, blocks, q, k_eff, meta, planes):
@@ -838,7 +877,7 @@ class MipsIndex:
                 )
             else:
                 s, i = self._approx_search_impl(emb, q, k_block, n_valid)
-            i = i + offset  # int32: fine to 2.1B rows
+            i = jnp.where(i < 0, i, i + offset)  # int32: fine to 2.1B rows
             if k_block < k_eff:  # pad so the concat axis is uniform
                 pad = k_eff - k_block
                 s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
@@ -866,7 +905,7 @@ class MipsIndex:
                 s, i, fail = self._groupmax_search_impl(emb, q, k_block, n_valid)
             else:
                 s, i, fail = self._fused_search_impl(emb, q, k_block, n_valid)
-            i = i + offset
+            i = jnp.where(i < 0, i, i + offset)
             if k_block < k_eff:
                 pad = k_eff - k_block
                 s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=NEG_INF)
@@ -1006,6 +1045,7 @@ class MipsIndex:
         )(emb, qd)  # s/i (B, ndev*k), fail (B, ndev)
         fs, fpos = jax.lax.top_k(s, k)
         fi = jnp.take_along_axis(i, fpos, axis=1)
+        fi = jnp.where(fs <= NEG_INF, -1, fi)  # pad/masked rows -> -1
         return fs, fi, jnp.any(fail, axis=1)
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
@@ -1120,16 +1160,22 @@ class MipsIndex:
     def _exact_fallback(self, emb, valid, queries, k, fail_idx):
         """Exact rescan for the handful of queries whose approx candidates
         failed verification; padded to a power of two so jit programs are
-        reused across calls."""
-        queries = np.asarray(queries)
+        reused across calls. ``queries`` is usually the device-resident
+        replicated array — the failed rows are GATHERED ON DEVICE (pad
+        slots repeat row 0 and are sliced off) instead of downloading the
+        whole (B, D) batch over the ~0.1 MB/s tunnel."""
+        queries = jnp.asarray(queries)  # no-op when already device-resident
         out_s, out_i = [], []
         for lo in range(0, len(fail_idx), 256):
             idx = fail_idx[lo : lo + 256]
             nfail = len(idx)
             pad_b = max(64, 1 << (nfail - 1).bit_length())  # pow2, reuse jits
-            fq = np.zeros((pad_b, queries.shape[1]), np.float32)
-            fq[:nfail] = queries[idx]
-            se, ie = self._topk_block(emb, valid, jnp.asarray(fq), k, False)
+            idx_pad = np.zeros((pad_b,), np.int32)
+            idx_pad[:nfail] = idx
+            fq = jnp.take(queries, jnp.asarray(idx_pad), axis=0).astype(
+                jnp.float32
+            )
+            se, ie = self._topk_block(emb, valid, fq, k, False)
             out_s.append(np.asarray(se)[:nfail])
             out_i.append(np.asarray(ie)[:nfail])
         return np.concatenate(out_s), np.concatenate(out_i)
@@ -1171,7 +1217,10 @@ class MipsIndex:
         i = np.asarray(i)
         tau = s[:, k - 1]
         cnt = np.asarray(self._count_above(emb, valid, queries, jnp.asarray(tau)))
-        found_gt = (s > tau[:, None]).sum(axis=1)
+        # margin: see COUNT_MARGIN_REL (same cross-ordering straddle-vs-
+        # miss cancellation as the device-side verification)
+        tau_hi = tau + COUNT_MARGIN_REL * np.abs(tau)
+        found_gt = (s > tau_hi[:, None]).sum(axis=1)
         fail_idx = np.nonzero(cnt != found_gt)[0]
         if len(fail_idx):
             se, ie = self._exact_fallback(emb, valid, queries, k, fail_idx)
@@ -1262,7 +1311,8 @@ class MipsIndex:
                 col=col_d,
             )
             del emb_d, valid_d  # host-resident mode: free HBM before next block
-            i = i.astype(np.int64) + offset
+            i = i.astype(np.int64)
+            i[i >= 0] += offset  # -1 = masked pad rows (rows_to_ctxs skips)
             if k_block < k_eff:  # pad so merge shapes agree
                 pad = k_eff - k_block
                 s = np.pad(s, ((0, 0), (0, pad)), constant_values=-np.inf)

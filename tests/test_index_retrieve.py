@@ -678,6 +678,46 @@ def test_int8_store_roundtrip_matches_direct_add(tmp_path):
     np.testing.assert_allclose(sd, sl, rtol=1e-5)
 
 
+def test_multiblock_pad_rows_never_alias_real_ids():
+    """Regression: masked pad candidates kept their raw row index, and the
+    multi-block offset add mapped block b's pad indices into block b+1's
+    REAL id range. With all-negative scores in a sparse block, pad rows
+    (pre-mask score 0) crowd the per-device approx pool, so the merged
+    result surfaces NEG_INF entries — which must carry index -1 (the
+    rows_to_ctxs skip convention), never another block's doc ids."""
+    mesh = get_mesh(8)
+    rng = np.random.default_rng(3)
+    D = 16
+    u = rng.normal(size=(D,)).astype(np.float32)
+    u /= np.linalg.norm(u)
+
+    def block(sign, n_valid):
+        rows = np.zeros((n_valid, D), np.float32)
+        mags = 1.0 + rng.random(n_valid).astype(np.float32)
+        rows += sign * mags[:, None] * u[None, :]
+        rows += 0.01 * rng.normal(size=(n_valid, D)).astype(np.float32)
+        pad = np.zeros((2048, D), np.float32)  # 256 rows/device > kc=128
+        pad[:n_valid] = rows
+        return pad
+
+    # block 0: 100 negative-scoring rows on device 0 alongside 156 pads —
+    # the kc=128 approx pool (pre-mask pad score 0 > negatives) fills with
+    # pads, so block 0 surfaces ZERO real candidates; block 1 holds only
+    # 20 rows, fewer than k, so the merged top-k MUST surface masked pads
+    index = MipsIndex(mesh, method="approx")
+    index.add_device(jnp.asarray(block(-1.0, 100), jnp.bfloat16), n_valid=100)
+    index.add_device(jnp.asarray(block(+1.0, 20), jnp.bfloat16), n_valid=20)
+    assert index.num_rows == 120
+    s, i = index.search(np.tile(u, (4, 1)).astype(np.float32), k=32)
+    surfaced_pads = s <= -1e29
+    assert surfaced_pads.any()
+    np.testing.assert_array_equal(i[surfaced_pads], -1)
+    real = ~surfaced_pads
+    assert (i[real] >= 0).all() and (i[real] < 120).all()
+    # block 1's positive rows must rank first (global ids 100..119)
+    assert (i[:, :20] >= 100).all()
+
+
 def test_int8_store_chunked_quantization_bit_exact(tmp_path):
     """The store's memory-bounded chunked quantizer (column-max pre-pass
     + row chunks) must produce BIT-identical planes to
