@@ -151,13 +151,20 @@ class DenseRetrieverDataModule:
         n = len(self.train_dataset)
         return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
 
-    def build_batch_for(self, stage: str, idx: Sequence[int]) -> Dict[str, np.ndarray]:
-        """Assemble one batch by dataset indices (also the worker entry)."""
+    def build_batch_for(
+        self, stage: str, idx: Sequence[int], reseed=None
+    ) -> Dict[str, np.ndarray]:
+        """Assemble one batch by dataset indices (also the worker entry).
+        ``reseed`` (a per-batch entropy tuple) pins the sampling RNG so
+        the batch is a pure function of its key — see
+        DPRExampleBuilder.reseed."""
         dataset = {
             "train": self.train_dataset,
             "eval": self.val_dataset,
             "test": self.test_dataset,
         }[stage]
+        if reseed is not None:
+            self.builder.reseed(list(reseed))
         rows = [dataset[int(i)] for i in idx]
         return self.batcher(self.builder.build_batch(rows, stage))
 
@@ -182,17 +189,28 @@ class DenseRetrieverDataModule:
                 return
             yield [int(i) for i in idx]
 
-    def _iter(self, dataset, order, batch_size, stage) -> Iterator[Dict[str, np.ndarray]]:
+    def _iter(
+        self, dataset, order, batch_size, stage, epoch: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        stage_id = {"train": 0, "eval": 1, "test": 2}[stage]
+
+        def keyed_batches():
+            for bi, idx in enumerate(
+                self._batch_indices(order, batch_size, stage)
+            ):
+                # per-batch RNG key: batch content is a pure function of
+                # (seed, epoch, stage, position) in BOTH the serial and
+                # fork-worker paths, so num_workers>0 reproduces the
+                # serial stream exactly
+                yield stage, idx, (int(self.seed), int(epoch), stage_id, bi)
+
         if self.num_workers > 0:
-            gen = self._get_pool().imap(
-                "build_batch_for",
-                ((stage, idx) for idx in self._batch_indices(order, batch_size, stage)),
-            )
+            gen = self._get_pool().imap("build_batch_for", keyed_batches())
             return prefetch(gen, self.prefetch_batches)
 
         def gen():
-            for idx in self._batch_indices(order, batch_size, stage):
-                yield self.build_batch_for(stage, idx)
+            for args in keyed_batches():
+                yield self.build_batch_for(*args)
 
         return prefetch(gen(), self.prefetch_batches)
 
@@ -221,7 +239,9 @@ class DenseRetrieverDataModule:
         else:
             rng = np.random.default_rng(self.seed + epoch)
             order = rng.permutation(n)
-        return self._iter(self.train_dataset, order, self.batch_size, "train")
+        return self._iter(
+            self.train_dataset, order, self.batch_size, "train", epoch
+        )
 
     def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.val_dataset is None:

@@ -82,6 +82,15 @@ class DPRExampleBuilder:
         self.corpus = corpus
         self._rng = np.random.default_rng(seed)
 
+    def reseed(self, entropy) -> None:
+        """Reset the sampling RNG from an entropy sequence. The
+        datamodule calls this with a per-batch key (seed, epoch, stage,
+        batch index) so batch content is a pure function of the key —
+        fork workers then sample IDENTICALLY to the serial path no
+        matter which worker handles which batch (a shared stream would
+        be scheduling-dependent and correlated across workers)."""
+        self._rng = np.random.default_rng(np.random.SeedSequence(entropy))
+
     # ------------------------------------------------------------------ #
 
     def negatives_for_stage(self, stage: str) -> int:

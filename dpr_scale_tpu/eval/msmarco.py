@@ -6,8 +6,10 @@ Parity with reference dpr_scale/msmarco_eval.py:
     DPR-JSON candidates (:21-92), plus TREC run files (6 columns);
   * the second-pass TREC metrics (map_cut / ndcg_cut / recip_rank /
     recall@{20,50,100,1000}) — the reference shells out to pytrec_eval
-    (C++); here they are computed natively (numpy), with pytrec_eval used
-    opportunistically when installed for cross-checking.
+    (C++); here they are computed natively (pure Python/numpy) and
+    validated against hand-computed values in the test suite
+    (tests/test_index_retrieve.py::test_msmarco_eval_metrics,
+    ::test_trec_metrics_ndcg).
 """
 from __future__ import annotations
 

@@ -7,6 +7,7 @@ DPR JSON and/or TREC runs.
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -127,6 +128,13 @@ def retrieve(
 
     all_scores, all_indices = [], []
     nq = query_embeddings.shape[0]
+    if nq == 0:  # empty query set: empty outputs, not a concat crash
+        if output_json_path:
+            with open(output_json_path, "w") as f:
+                json.dump([], f)
+        if output_trec_path:
+            open(output_trec_path, "w").close()
+        return []
     for lo in range(0, nq, query_batch):
         q = query_embeddings[lo : lo + query_batch]
         if q.shape[0] < query_batch:  # keep shapes static for jit reuse

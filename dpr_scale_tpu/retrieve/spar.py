@@ -85,7 +85,12 @@ def run_spar_retrieval(
     """
     if not weights:
         weights = [1.0] * len(query_emb_names)
-    assert len(questions_list) == len(query_emb_names) == len(output_filenames)
+    assert (
+        len(questions_list)
+        == len(query_emb_names)
+        == len(output_filenames)
+        == len(weights)  # a short weights list would silently zip-drop sets
+    )
 
     p1 = load_dir_embeddings(ctx_embeddings_dir_1)
     p2 = load_dir_embeddings(ctx_embeddings_dir_2)

@@ -61,12 +61,10 @@ def contrastive_loss(
     in_batch_negatives: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mean CE loss over queries, the (B, C) score matrix)."""
-    scores = jnp.dot(
-        query_repr, context_repr.T, preferred_element_type=jnp.float32
-    )
     if in_batch_negatives:
-        masked = jnp.where(ctx_mask[None, :], NEG_INF, scores)
+        masked = similarity_scores(query_repr, context_repr, ctx_mask)
     else:
+        scores = similarity_scores(query_repr, context_repr)
         qc_mask = _block_mask(
             query_repr.shape[0], context_repr.shape[0], pos_ctx_indices, ctx_mask
         )
@@ -85,8 +83,15 @@ def rank_metrics(
     """Summed (not averaged) rank / mrr / accuracy@k, as the reference
     accumulates them (:248-262); divide by query count at epoch end."""
     gold = jnp.take_along_axis(scores, pos_ctx_indices[:, None], axis=1)  # (B,1)
-    # descending rank of the gold context: 1 + #contexts scoring strictly higher
-    rank = 1 + jnp.sum(scores > gold, axis=1)  # (B,)
+    # descending rank of the gold context with STABLE-SORT tie semantics:
+    # 1 + #strictly-higher + #ties at earlier positions. Strictly-greater
+    # alone resolves every tie in the gold's favor — with exact ties
+    # (e.g. DPR-output rows whose fallback positive duplicates a
+    # negative, identical embeddings) that systematically inflates
+    # MRR/accuracy vs the reference's sort-position rank (:235-246).
+    pos = jnp.arange(scores.shape[1])[None, :]
+    earlier_tie = (scores == gold) & (pos < pos_ctx_indices[:, None])
+    rank = 1 + jnp.sum(scores > gold, axis=1) + jnp.sum(earlier_tie, axis=1)
     return {
         "rank_sum": jnp.sum(rank).astype(jnp.float32),
         "mrr_sum": jnp.sum(1.0 / rank.astype(jnp.float32)),

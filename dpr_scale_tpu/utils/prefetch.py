@@ -79,4 +79,10 @@ class _Prefetcher:
 
 
 def prefetch(iterable: Iterable[T], buffer_size: int = 2) -> Iterator[T]:
+    """``buffer_size <= 0`` DISABLES prefetching (synchronous
+    passthrough). It must not reach queue.Queue, where maxsize=0 means
+    an UNBOUNDED queue — the producer would race ahead and buffer the
+    whole epoch in host RAM (a 21M-passage corpus of tokenized batches)."""
+    if buffer_size <= 0:
+        return iter(iterable)
     return _Prefetcher(iterable, buffer_size)

@@ -188,6 +188,40 @@ def test_dense_datamodule_workers_eval_match_serial(dpr10_jsonl, tokenizer):
     for t in ts:
         assert t["query_ids"].shape[0] == 5
         assert t["contexts_ids"].shape[0] == 5 * 3  # 1 pos + 2 neg
+    # per-batch RNG keys make TRAIN batches (sampling included) identical
+    # between fork workers and the serial path — identically-seeded
+    # worker streams used to be scheduling-dependent and correlated
+    ss = list(serial.train_batches(epoch=0))
+    assert len(ss) == len(ts)
+    for a, b in zip(ss, ts):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    # ...and distinct epochs still draw distinct samples
+    s1 = list(serial.train_batches(epoch=1))
+    assert any(
+        not np.array_equal(a["contexts_ids"], b["contexts_ids"])
+        for a, b in zip(ss, s1)
+    )
+
+
+def test_prefetch_zero_is_synchronous_passthrough():
+    """prefetch(gen, 0) must DISABLE prefetching — queue.Queue(maxsize=0)
+    would be an UNBOUNDED queue, buffering the whole epoch in host RAM."""
+    from dpr_scale_tpu.utils.prefetch import prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), 0)
+    assert next(it) == 0
+    # a background producer would have raced ahead by now; the
+    # passthrough produces strictly on demand
+    assert len(produced) == 1
+    assert list(it) == list(range(1, 100))
 
 
 def test_tokenizer_length_bucketing(tiny_bert_dir):

@@ -94,6 +94,22 @@ def test_rank_metrics():
     assert float(m["query_count"]) == 3.0
 
 
+def test_rank_metrics_tie_semantics():
+    """Exact score ties resolve by STABLE-SORT position, not in the
+    gold's favor (regression: strictly-greater counting gave the gold
+    rank 1 against an identical duplicate — e.g. DPR-output rows whose
+    fallback positive also appears as a negative — inflating MRR)."""
+    # gold at position 2 ties positions 0 and 3; position 1 beats it
+    scores = jnp.asarray([[5.0, 9.0, 5.0, 5.0]])
+    m = rank_metrics(scores, jnp.asarray([2]), k=2)
+    assert float(m["rank_sum"]) == 3.0  # 1 + one higher + one earlier tie
+    assert float(m["hits_at_k"]) == 0.0
+    # gold at position 0 with the same ties: earlier ties = 0 -> rank 2
+    m0 = rank_metrics(scores, jnp.asarray([0]), k=2)
+    assert float(m0["rank_sum"]) == 2.0
+    assert float(m0["hits_at_k"]) == 1.0
+
+
 def test_linear_warmup_decay():
     sched = linear_warmup_decay(1.0, warmup_steps=10, total_steps=110)
     assert float(sched(0)) == 0.0
