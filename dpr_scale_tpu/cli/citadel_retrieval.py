@@ -85,7 +85,9 @@ def main(argv=None):
     add_cls = cfg.task.get("add_cls", False)
     encode = jax.jit(
         lambda ids, mask: model.apply(
-            {"params": params}, ids, mask, topk=topk_route, add_cls=add_cls
+            {"params": params}, ids, mask, topk=topk_route, add_cls=add_cls,
+            routing_stats=False,  # training-only (B, vocab) planes: skip
+            # computing AND fetching them over the tunnel
         )
     )
 

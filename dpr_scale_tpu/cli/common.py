@@ -109,7 +109,7 @@ def build_optimizer(cfg: Config, total_steps: int):
         learning_rate=schedule,
         weight_decay=o.get("weight_decay", 0.0),
         betas=tuple(o.get("betas", (0.9, 0.999))),
-        eps=o.get("eps", 1e-8),
+        eps=o.get("eps"),  # None = per-optimizer default (madgrad 1e-6)
         grad_clip_norm=cfg.trainer.get("gradient_clip_val"),
         accumulate_steps=cfg.trainer.get("accumulate_grad_batches", 1),
     )

@@ -79,7 +79,8 @@ def main(argv=None):
     add_cls = cfg.task.get("add_cls", False)
     encode = jax.jit(
         lambda ids, mask: model.apply(
-            {"params": params}, ids, mask, topk=topk, add_cls=add_cls
+            {"params": params}, ids, mask, topk=topk, add_cls=add_cls,
+            routing_stats=False,  # training-only planes: skip compute+fetch
         )
     )
 

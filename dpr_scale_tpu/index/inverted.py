@@ -61,6 +61,18 @@ class _ExpertPostings:
         return self.vecs.astype(np.float32) * self.scale[:, None]
 
 
+def _maybe_quantize(vecs: np.ndarray, quantizer: Optional[str]):
+    """Per-row symmetric int8 for posting vectors (quantizer "pq"/"int8"
+    — the reference's IVFPQ option, citadel_retrieval_task.py:12); one
+    definition shared by finalize() and from_dir() so build and load
+    cannot diverge."""
+    if quantizer not in ("pq", "int8"):
+        return vecs, None
+    scale = np.maximum(np.abs(vecs).max(axis=1) / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(vecs / scale[:, None]), -127, 127).astype(np.int8)
+    return q, scale
+
+
 class InvertedExpertIndex:
     def __init__(self, dim: int, num_docs: int, cls_dim: Optional[int] = None):
         self.dim = dim
@@ -88,7 +100,15 @@ class InvertedExpertIndex:
         weights = encoder_out.get("expert_weights")
         weights = None if weights is None else np.asarray(weights, dtype=np.float32)
         if "cls_repr" in encoder_out:
-            self._cls_chunks.append(np.asarray(encoder_out["cls_repr"], np.float32))
+            # rows tracked explicitly: postings address docs by corpus_rows,
+            # so the CLS plane must too — positional concatenation would
+            # misalign (or crash) under out-of-order / partial add_batch
+            self._cls_chunks.append(
+                (
+                    np.asarray(list(corpus_rows), np.int64),
+                    np.asarray(encoder_out["cls_repr"], np.float32),
+                )
+            )
 
         citadel = expert_ids.ndim == 3
         for b, row in enumerate(corpus_rows):
@@ -112,18 +132,14 @@ class InvertedExpertIndex:
             ids = np.asarray([p[0] for p in posts], np.int64)
             ws = np.asarray([p[1] for p in posts], np.float32)
             vecs = np.stack([p[2] for p in posts]).astype(np.float32)
-            scale = None
-            if quantizer in ("pq", "int8"):
-                scale = np.maximum(np.abs(vecs).max(axis=1) / 127.0, 1e-12).astype(
-                    np.float32
-                )
-                vecs = np.clip(np.round(vecs / scale[:, None]), -127, 127).astype(
-                    np.int8
-                )
+            vecs, scale = _maybe_quantize(vecs, quantizer)
             self.experts[e] = _ExpertPostings(ids, ws, vecs, scale)
         self._building.clear()
         if self._cls_chunks:
-            self.cls = np.concatenate(self._cls_chunks, axis=0)
+            dc = self._cls_chunks[0][1].shape[1]
+            self.cls = np.zeros((self.num_docs, dc), np.float32)
+            for rows, chunk in self._cls_chunks:
+                self.cls[rows] = chunk
             self._cls_chunks = []
 
     # ------------------------------------------------------------- #
@@ -202,15 +218,15 @@ class InvertedExpertIndex:
                 acc += len(x[1])
             entries = kept
         for e, ids, ws, vecs in entries:
-            scale = None
-            if quantizer in ("pq", "int8"):
-                scale = np.maximum(np.abs(vecs).max(axis=1) / 127.0, 1e-12).astype(
-                    np.float32
-                )
-                vecs = np.clip(np.round(vecs / scale[:, None]), -127, 127).astype(np.int8)
+            vecs, scale = _maybe_quantize(vecs, quantizer)
             index.experts[e] = _ExpertPostings(ids, ws, vecs, scale)
         if cls_parts:
             index.cls = np.concatenate(cls_parts, axis=0)
+            assert index.cls.shape[0] == num_docs, (
+                f"cls shards cover {index.cls.shape[0]} rows but the index "
+                f"holds {num_docs} docs — shards must be contiguous in "
+                "corpus order (reference emission format)"
+            )
         return index
 
     # ------------------------------------------------------------- #

@@ -44,7 +44,15 @@ def strip_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndar
 
 
 def detect_encoder_prefix(sd: Mapping[str, np.ndarray]) -> str:
-    for p in ("bert.", "roberta.", "model.", ""):
+    # "transformer." variants: the reference HFEncoder nests its HF model
+    # as self.transformer (hf_model.py:26) NEXT TO the projection head
+    # (project.0/project.1) — the prefix must be detected here rather
+    # than pre-stripped by callers, or the project.* keys get discarded
+    for p in (
+        "bert.", "roberta.", "model.",
+        "transformer.", "transformer.bert.", "transformer.roberta.",
+        "",
+    ):
         if any(k.startswith(p + "embeddings.word_embeddings") for k in sd):
             return p
     raise ValueError("No BERT-style embeddings found in state dict")
@@ -148,13 +156,14 @@ def convert_reference_biencoder_ckpt(
     ctx_sd = strip_prefix(sd, "context_encoder.")
     if not ctx_sd:
         ctx_sd = strip_prefix(sd, "ctx_encoder.")
-    # the reference nests its HF model under `.transformer`
-    inner = strip_prefix(ctx_sd, "transformer.")
-    params = {"context_encoder": convert_dense_encoder(inner or ctx_sd, cfg)}
+    # the reference nests its HF model under `.transformer` ALONGSIDE the
+    # projection head (project.0/project.1): convert_dense_encoder
+    # detects the nesting itself — pre-stripping "transformer." here
+    # would silently drop the trained projection keys
+    params = {"context_encoder": convert_dense_encoder(ctx_sd, cfg)}
     if not shared:
         q_sd = strip_prefix(sd, "query_encoder.")
-        inner_q = strip_prefix(q_sd, "transformer.")
-        params["query_encoder"] = convert_dense_encoder(inner_q or q_sd, cfg)
+        params["query_encoder"] = convert_dense_encoder(q_sd, cfg)
     return params
 
 

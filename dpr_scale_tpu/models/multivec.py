@@ -96,7 +96,13 @@ class MultiVecEncoder(nn.Module):
         topk: int = 1,
         add_cls: bool = False,
         deterministic: bool = True,
+        routing_stats: bool = True,
     ) -> Dict[str, jnp.ndarray]:
+        """``routing_stats=False`` (inference) skips the training-only
+        CITADEL outputs — router_repr / router_mask / router_softmax_repr
+        are each (B, vocab) fp32 (~3.9 MB per 32 queries), which CLI
+        callers would otherwise fetch over the ~0.1 MB/s tunnel for
+        losses that never run at inference."""
         if attention_mask is None:
             attention_mask = (input_ids != self.cfg.pad_token_id).astype(jnp.int32)
         hidden = self.transformer(input_ids, attention_mask, deterministic)
@@ -138,7 +144,8 @@ class MultiVecEncoder(nn.Module):
         # citadel
         logits = self.mlm_head(hidden[:, 1:, :]).astype(jnp.float32)  # (B, T, V)
         full_router = jnp.log1p(jax.nn.relu(logits)) * tok_mask[..., None]
-        ret["router_repr"] = jnp.max(full_router, axis=1)  # (B, V)
+        if routing_stats:
+            ret["router_repr"] = jnp.max(full_router, axis=1)  # (B, V)
         expert_weights, expert_ids = jax.lax.top_k(full_router, topk)  # (B, T, K)
         # pad positions: weights are already 0 there; give ids -1 so they
         # never match real experts
@@ -150,6 +157,8 @@ class MultiVecEncoder(nn.Module):
             expert = self.tok_project(toks).astype(jnp.float32)
         ret["expert_repr"] = expert * tok_mask[..., None]
 
+        if not routing_stats:
+            return ret
         # routing statistics (citadel_model.py:62-73); scatter-add instead
         # of a (B, T, K, V) one-hot to keep HBM use at (B, V)
         active = (expert_weights > 0.0).astype(jnp.float32)  # (B, T, K)

@@ -108,12 +108,12 @@ def count_above_groups_kernel(
     interpret: bool = False,
     vma=None,  # mesh axes the output varies over when called inside shard_map
 ) -> jax.Array:  # (B, N // GROUP_ROWS) int32 counts of scores > threshold
-    """Per-query, per-512-row-group exact count of scores above a threshold.
+    """Per-query, per-GROUP_ROWS(=256)-row-group exact count of scores above a threshold.
 
     The verification + rescue pass of the fused exact-MIPS pipeline
     (:meth:`dpr_scale_tpu.index.mips.MipsIndex`, method="fused"): one
     matmul-bound sweep over the corpus whose only output is a tiny
-    (B, N/512) count matrix — group-level discrepancies against the
+    (B, N/GROUP_ROWS) count matrix — group-level discrepancies against the
     approx candidates point the rescue gather at exactly the corpus
     groups holding missed elements. Replaces the reference's second
     FAISS semantics guarantee (exact IndexFlatIP, run_retrieval.py:48-57)

@@ -13,25 +13,30 @@ def make_optimizer(
     learning_rate: Union[float, Callable] = 1e-5,
     weight_decay: float = 0.0,
     betas=(0.9, 0.999),
-    eps: float = 1e-8,
+    eps: Optional[float] = None,  # None = per-optimizer default
+    # (1e-8 adam-family, 1e-6 madgrad — the reference defaults)
     grad_clip_norm: Optional[float] = None,
     accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     name = name.lower()
+    adam_eps = 1e-8 if eps is None else eps
     if name == "adamw":
         opt = optax.adamw(
-            learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+            learning_rate, b1=betas[0], b2=betas[1], eps=adam_eps,
             weight_decay=weight_decay,
         )
     elif name == "lamb":
         opt = optax.lamb(
-            learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+            learning_rate, b1=betas[0], b2=betas[1], eps=adam_eps,
             weight_decay=weight_decay,
         )
     elif name == "madgrad":
-        opt = madgrad(learning_rate, weight_decay=weight_decay)
+        opt = madgrad(
+            learning_rate, weight_decay=weight_decay,
+            eps=1e-6 if eps is None else eps,
+        )
     elif name == "adam":
-        opt = optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+        opt = optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=adam_eps)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
 

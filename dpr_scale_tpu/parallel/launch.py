@@ -32,13 +32,29 @@ def maybe_initialize_distributed(
     num_processes = num_processes or _int_env("DPR_NUM_PROCESSES")
     process_id = process_id if process_id is not None else _int_env("DPR_PROCESS_ID")
 
-    if coordinator is None and os.environ.get("TPU_WORKER_HOSTNAMES"):
-        # TPU pod: metadata-based autodetection
+    hostnames = [
+        h
+        for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+        if h.strip()
+    ]
+    if coordinator is None and len(hostnames) > 1:
+        # TPU pod: metadata-based autodetection. A failure here must NOT
+        # fall through to single-host mode — every host would then train
+        # the full data independently with the same seed (wrong global
+        # batch, checkpoint-dir collisions) and nothing would ever error.
+        # (A single-entry TPU_WORKER_HOSTNAMES — e.g. "localhost" from a
+        # single-chip runtime — IS a deliberate single-host run.)
         try:
             jax.distributed.initialize()
             return True
-        except (RuntimeError, ValueError):
-            return False
+        except (RuntimeError, ValueError) as e:
+            raise RuntimeError(
+                f"TPU_WORKER_HOSTNAMES lists {len(hostnames)} hosts "
+                "(multi-host pod) but jax.distributed.initialize() failed "
+                "— refusing to fall back to independent single-host "
+                "training. Fix the coordinator/metadata or unset "
+                f"TPU_WORKER_HOSTNAMES for a single-host run. Cause: {e}"
+            ) from e
     if coordinator is None:
         return False
     jax.distributed.initialize(

@@ -151,10 +151,12 @@ def rerank_multivec(
     @jax.jit
     def score(q_ids, q_mask, c_ids, c_mask):
         q_repr = model.apply(
-            {"params": params}, q_ids, q_mask, topk=query_topk, add_cls=add_cls
+            {"params": params}, q_ids, q_mask, topk=query_topk,
+            add_cls=add_cls, routing_stats=False,
         )
         c_repr = model.apply(
-            {"params": params}, c_ids, c_mask, topk=context_topk, add_cls=add_cls
+            {"params": params}, c_ids, c_mask, topk=context_topk,
+            add_cls=add_cls, routing_stats=False,
         )
         s = expert_sim_score(q_repr, c_repr, pairwise=True, query_pool=query_pool)
         if add_cls:

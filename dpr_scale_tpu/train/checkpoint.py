@@ -26,9 +26,14 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         self.monitor = monitor
         self.save_last = save_last
+        # missing-monitor sentinel must be the WORST value for the mode:
+        # -inf under mode="min" would rank a metric-less save (periodic
+        # save, empty val set) as the BEST checkpoint and evict genuinely
+        # better ones at max_to_keep
+        worst = float("-inf") if mode == "max" else float("inf")
         options = ocp.CheckpointManagerOptions(
             max_to_keep=save_top_k,
-            best_fn=(lambda metrics: metrics.get(monitor, float("-inf")))
+            best_fn=(lambda metrics: metrics.get(monitor, worst))
             if save_top_k > 0
             else None,
             best_mode=mode,
