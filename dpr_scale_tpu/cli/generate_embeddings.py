@@ -42,6 +42,14 @@ def _init_params(task, tokenizer, checkpoint_path):
         params = load_params(checkpoint_path, state.params)
         state = task.load_params(state, params)
         print(f"Loaded params from {checkpoint_path}")
+    else:
+        import warnings
+
+        warnings.warn(
+            "task.checkpoint_path is unset: encoding with RANDOM-INIT "
+            "params (this environment has no pretrained weights). "
+            "Retrieval quality will be garbage unless this is a test/demo."
+        )
     return state.params
 
 
@@ -74,6 +82,14 @@ def main(argv=None):
     fmt = cfg.task.get("embeddings_format", "pickle")
 
     if args.queries:
+        if exported:
+            raise ValueError(
+                "--queries with task.exported_encoder_path is not "
+                "supported: the query pipeline does not drive exported "
+                "StableHLO encoders (it would silently encode with no "
+                "params). Use task.checkpoint_path or "
+                "task.quantized_checkpoint_path for query encoding."
+            )
         from dpr_scale_tpu.cli.generate_query_embeddings import encode_queries
 
         return encode_queries(cfg, task, params, tokenizer, out_dir)

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
 
 import numpy as np
 
@@ -50,8 +49,10 @@ def main(argv=None):
         trec_format=d.get("trec_format", False),
     )
     if os.path.exists(qrep_path):
-        with open(qrep_path, "rb") as f:
-            q_emb = np.asarray(pickle.load(f), dtype=np.float32)
+        from dpr_scale_tpu.encode.embeddings import load_embedding_shard
+
+        # the helper handles torch-tensor pickles (reference writer) too
+        q_emb = np.asarray(load_embedding_shard(qrep_path), dtype=np.float32)
         print(f"Loaded query embeddings {q_emb.shape} from {qrep_path}")
     else:
         from dpr_scale_tpu.cli.generate_embeddings import _init_params

@@ -10,7 +10,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import pickle
 
 import numpy as np
 
@@ -41,8 +40,12 @@ def main(argv=None):
     )
     outputs = []
     for qs in cfg.task["query_sets"]:
-        with open(qs["query_emb_path"], "rb") as f:
-            q_emb = np.asarray(pickle.load(f), dtype=np.float32)
+        from dpr_scale_tpu.encode.embeddings import load_embedding_shard
+
+        # handles torch-tensor pickles (reference writer) too
+        q_emb = np.asarray(
+            load_embedding_shard(qs["query_emb_path"]), dtype=np.float32
+        )
         dm = QueriesDataModule(
             tokenizer, qs["test_path"], trec_format=qs.get("trec_format", False)
         )

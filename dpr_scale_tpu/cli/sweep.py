@@ -111,11 +111,31 @@ def main(argv=None):
     if args.dry_run:
         return results
 
+    if args.run_index is not None:
+        # fan-out mode: this job ran ONE run, but best.json must describe
+        # the whole sweep — re-read every peer run's metrics.json, so the
+        # last finisher leaves the true sweep-wide best behind (a single
+        # job's own result alone would overwrite best.json with whichever
+        # run finished last, e.g. the worst lr)
+        ranked = []
+        for idx in range(len(runs)):
+            mp = os.path.join(args.sweep_dir, f"run_{idx:03d}", "metrics.json")
+            m = None
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    m = json.load(f)
+            ranked.append((idx, runs[idx], m))
+        missing = sum(1 for _i, _o, m in ranked if not m)
+        if missing:
+            print(f"(fan-out: {missing}/{len(runs)} runs have no metrics yet)")
+    else:
+        ranked = results
+
     scored = [
-        (idx, ovs, m) for idx, ovs, m in results if m and args.monitor in m
+        (idx, ovs, m) for idx, ovs, m in ranked if m and args.monitor in m
     ]
     print("\n=== sweep summary ===")
-    for idx, ovs, m in results:
+    for idx, ovs, m in ranked:
         val = m.get(args.monitor) if m else None
         print(f"run_{idx:03d} {' '.join(ovs):60s} {args.monitor}={val}")
     if scored:
@@ -126,17 +146,22 @@ def main(argv=None):
             f"best: run_{best[0]:03d} ({' '.join(best[1])}) "
             f"{args.monitor}={best[2][args.monitor]}"
         )
-        with open(os.path.join(args.sweep_dir, "best.json"), "w") as f:
+        best_path = os.path.join(args.sweep_dir, "best.json")
+        tmp = best_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "run": best[0],
                     "overrides": best[1],
                     "metrics": best[2],
                     "monitor": args.monitor,
+                    "runs_scored": len(scored),
+                    "runs_total": len(runs),
                 },
                 f,
                 indent=2,
             )
+        os.replace(tmp, best_path)
     return results
 
 

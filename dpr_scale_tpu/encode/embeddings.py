@@ -171,18 +171,31 @@ class CorpusEncoder:
         path = save_embedding_shard(
             os.path.join(output_dir, f"reps_{shard_id:04}"), emb, fmt
         )
+        # shard jobs run CONCURRENTLY against one output_dir (task.shard=i,
+        # one process per shard): the manifest read-modify-write is
+        # flock-serialized and the replacement is an atomic rename, so
+        # parallel encoders neither lose each other's entries nor expose
+        # a half-written JSON to readers
         manifest_path = os.path.join(output_dir, "manifest.json")
-        manifest = {}
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                manifest = json.load(f)
-        manifest[str(shard_id)] = {
+        lock_path = manifest_path + ".lock"
+        entry = {
             "file": os.path.basename(path),
             "rows": emb.shape[0],
             "dim": int(emb.shape[1]) if emb.ndim == 2 else 0,
             "corpus_offset": corpus_offset,
             "num_shards": num_shards,
         }
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=1)
+        import fcntl
+
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            manifest = {}
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    manifest = json.load(f)
+            manifest[str(shard_id)] = entry
+            tmp = manifest_path + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, manifest_path)
         return path

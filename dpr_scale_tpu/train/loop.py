@@ -56,9 +56,26 @@ class Trainer:
         examples = 0
         import jax.numpy as jnp
 
-        for epoch in range(self.max_epochs):
+        # resume: a restored state.step must CONTINUE the schedule, not
+        # replay it — otherwise every supervise-requeue with --resume
+        # retrains max_epochs more epochs at the decayed-floor LR.
+        # Completed epochs are skipped outright; a mid-epoch restore
+        # (eval_every_steps checkpoint) replays that epoch's data order
+        # without device steps up to the restored position.
+        steps_per_epoch = self.dm.steps_per_epoch()
+        start_epoch = (
+            min(global_step // steps_per_epoch, self.max_epochs)
+            if steps_per_epoch
+            else 0
+        )
+        skip = global_step - start_epoch * steps_per_epoch
+
+        for epoch in range(start_epoch, self.max_epochs):
             epoch_arr = jnp.asarray(epoch, jnp.float32)  # traced: no retrace/epoch
             for batch in self.dm.train_batches(epoch):
+                if skip > 0:
+                    skip -= 1
+                    continue
                 examples += len(batch.get("pos_ctx_indices", batch["query_ids"]))
                 state, metrics = train_step(state, self.task.shard(batch), epoch_arr)
                 global_step += 1

@@ -100,21 +100,25 @@ int64_t dpr_scan_offsets(const char* buf, int64_t size, uint64_t* out,
 // merge+re-topk in reference run_retrieval_pytorch.py:272-277).
 void dpr_merge_topk(const float* scores, const int64_t* ids, int64_t nshards,
                     int64_t k, float* out_scores, int64_t* out_ids) {
-  using Entry = std::pair<float, int64_t>;  // (score, flat index)
+  // tie order matches the numpy fallback's STABLE descending sort:
+  // equal scores resolve to the smaller flat (shard-major) position —
+  // the heap key carries -flat so ties pop lowest-position first
+  using Entry = std::pair<float, int64_t>;  // (score, -flat index)
   std::priority_queue<Entry> heap;
   for (int64_t s = 0; s < nshards; ++s) {
-    if (k > 0) heap.emplace(scores[s * k], s * k);
+    if (k > 0) heap.emplace(scores[s * k], -(s * k));
   }
   int64_t written = 0;
   while (written < k && !heap.empty()) {
-    auto [score, flat] = heap.top();
+    auto [score, negflat] = heap.top();
+    int64_t flat = -negflat;
     heap.pop();
     out_scores[written] = score;
     out_ids[written] = ids[flat];
     ++written;
     int64_t shard = flat / k;
     int64_t next = flat + 1;
-    if (next < (shard + 1) * k) heap.emplace(scores[next], next);
+    if (next < (shard + 1) * k) heap.emplace(scores[next], -next);
   }
   for (; written < k; ++written) {
     out_scores[written] = -3.4e38f;

@@ -179,6 +179,58 @@ def test_trainer_no_duplicate_validation_at_epoch_boundary(
     ckpt.close()
 
 
+def test_resume_continues_schedule_instead_of_replaying(
+    dpr10_jsonl, tiny_bert_dir
+):
+    """Regression: fit() on a restored state used to rerun ALL max_epochs
+    again (every supervise-requeue with --resume overtrained at the
+    decayed-floor LR). A restored step must continue the epoch schedule;
+    a fully-trained state must run zero further steps."""
+    import dataclasses as _dc
+
+    import jax
+
+    from dpr_scale_tpu.cli.common import build_datamodule, build_task
+    from dpr_scale_tpu.config import load_config
+    from dpr_scale_tpu.data.tokenize import HFTokenizer
+    from dpr_scale_tpu.optim import make_optimizer
+    from dpr_scale_tpu.train.loop import Trainer
+
+    cfg = load_config(
+        os.path.join(CONF, "tiny_smoke.yaml"),
+        overrides=[
+            f"task.transform.model_path={tiny_bert_dir}",
+            f"datamodule.train_path={dpr10_jsonl}",
+            "datamodule.batch_size=5",
+        ],
+    )
+    tok = HFTokenizer(tiny_bert_dir, max_seq_len=16)
+    dm = build_datamodule(cfg, tok)
+    task = build_task(cfg, optimizer=make_optimizer("adamw", 1e-3))
+    spe = dm.steps_per_epoch()
+    trainer = Trainer(task, dm, max_epochs=3, log_every=100)
+    state = task.init_state(jax.random.PRNGKey(0), dm.example_batch())
+    state = trainer.fit(state)
+    assert int(state.step) == 3 * spe
+    import jax.numpy as jnp
+
+    # the train step donates its input state, so each resume case gets a
+    # fresh buffer copy
+    def at_step(s, step):
+        copied = jax.tree_util.tree_map(jnp.copy, s)
+        return copied.replace(step=jnp.asarray(step, jnp.int32))
+
+    # fully trained: a resumed fit adds NO steps
+    state2 = trainer.fit(at_step(state, 3 * spe))
+    assert int(state2.step) == 3 * spe
+    # resumed from the end of epoch 1: exactly the remaining 2 epochs run
+    state3 = trainer.fit(at_step(state, spe))
+    assert int(state3.step) == 3 * spe
+    # resumed MID-epoch: the partial epoch completes, then the rest
+    state4 = trainer.fit(at_step(state, spe + 1))
+    assert int(state4.step) == 3 * spe
+
+
 def test_train_cli_smoke(dpr10_jsonl, tiny_bert_dir, tmp_path, capsys):
     """Full reference-main.py flow: fit 2 epochs + validate + checkpoint +
     test best ckpt, via the CLI entry, on the tiny fixture."""

@@ -125,6 +125,29 @@ def test_merge_topk():
     assert out_i.tolist() == [80, 0, 40, 10]
 
 
+def test_merge_topk_native_matches_numpy_on_ties():
+    """The C++ heap and the numpy stable-sort fallback must agree on TIE
+    ordering (equal scores -> smaller shard-major position first), so
+    results do not depend on whether the native lib compiled."""
+    from dpr_scale_tpu.utils import native as native_mod
+
+    s = np.array(
+        [[5.0, 5.0, 1.0], [5.0, 4.0, 2.0], [6.0, 5.0, 0.5]], dtype=np.float32
+    )
+    ids = (np.arange(9, dtype=np.int64) + 1).reshape(3, 3) * 10
+    got_s, got_i = merge_topk(s, ids, 3)
+
+    flat_s = s.reshape(-1)
+    flat_i = ids.reshape(-1)
+    order = np.argsort(-flat_s, kind="stable")[:3]
+    np.testing.assert_array_equal(got_s, flat_s[order])
+    np.testing.assert_array_equal(got_i, flat_i[order])
+    if native_mod._load() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable: only the fallback was exercised")
+
+
 def test_csv_quoting_runtime_datasets(tmp_path):
     """Runtime TSV datasets must unescape csv-style quoting like the
     reference (dpr.py:94-100) AND survive embedded tabs in quoted fields
