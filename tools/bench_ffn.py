@@ -22,7 +22,8 @@ import json
 import sys
 import time
 
-sys.path.insert(0, ".")
+import pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -226,8 +226,18 @@ def main():
 
     results = {}
     measure("trained", corpus, queries, results)
-    # sanity: the trained encoder must actually retrieve its targets
-    from dpr_scale_tpu.index import MipsIndex  # noqa: F401 (import check)
+    # sanity: the trained encoder must actually retrieve its targets —
+    # collapsed embeddings would make every lossy mode agree with exact
+    # (recall ~1.0) while carrying no signal, silently voiding the
+    # "trained geometry" claim this tool exists to measure
+    exact = np.argsort(-(queries.astype(np.float32) @ corpus.T), axis=1)[:, :100]
+    hit = np.mean([t in row for t, row in zip(target, exact)])
+    results["trained_target_recall@100"] = round(float(hit), 4)
+    assert hit > 0.5, (
+        f"trained encoder retrieves its own targets at {hit:.2f}@100 — "
+        "the training run collapsed; lossy-recall numbers would be "
+        "meaningless"
+    )
 
     if args.proxy:
         rng = np.random.default_rng(7)

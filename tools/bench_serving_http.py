@@ -134,9 +134,18 @@ def main():
         assert len(data["results"]) == len(qs)
         return time.perf_counter() - t0
 
-    # warm up compile paths (batch buckets + top-k bucket)
+    # warm up EVERY reachable coalesced batch bucket (pow2 up to
+    # max_batch): under load, pending requests merge into large padded
+    # batches, and an uncached bert_base encode compile (tens of seconds
+    # over the tunnel) landing inside the timed window would deflate QPS
+    # and inflate p95. Direct retriever calls hit each bucket exactly.
+    b = 8
+    while True:
+        retriever.search(["warm up query"] * min(b, args.max_batch), args.k)
+        if b >= args.max_batch:
+            break
+        b *= 2
     warm = http.client.HTTPConnection("127.0.0.1", port)
-    one_request(warm, ["warm up query"] * args.qper, args.k)
     one_request(warm, ["warm up query"] * args.qper, args.k)
 
     lat = []

@@ -144,6 +144,10 @@ def main():
                 break
         if n_done >= args.steps + warm_skip:
             break
+    assert t0 is not None, (
+        f"dataset too small: only {n_done} batches available for "
+        f"--steps {args.steps} (+{warm_skip} warm-up)"
+    )
     float(np.asarray(metrics["train_loss"]))  # final sync
     dt = time.perf_counter() - t0
     qps = args.steps * args.batch / dt

@@ -54,7 +54,6 @@ def main():
     qvecs[:E] = rng.normal(size=(E, D)).astype(np.float32)
     G, TL = _stream_cfg(n_exp, L, D, 2)
     steps = _stream_steps(slots, E, n_pad, G)
-    n_fetch_blocks = int(steps[:, 3].sum() + (steps[:, 3] == 0).sum())
     # distinct consecutive v-block fetches (Pallas skips unchanged index)
     pgs = steps[:, 0]
     distinct = int(1 + (pgs[1:] != pgs[:-1]).sum()) * (L // TL)

@@ -56,10 +56,10 @@ def main():
     out_qrels = os.path.join(d, "qrels.test.tsv")
     with open(os.path.join(d, "qrels", "test.tsv")) as fin, open(out_qrels, "w") as fout:
         for i, line in enumerate(fin):
-            if i == 0:
-                continue  # header
-            qid, pid, rel = line.split("\t")
-            fout.write(f"{qid} 0 {pid} {rel}")
+            if i == 0 or not line.strip():
+                continue  # header / trailing blank
+            qid, pid, rel = line.rstrip("\r\n").split("\t")[:3]
+            fout.write(f"{qid} 0 {pid} {rel}\n")
     print(f"Wrote {n_corpus} passages, {n_queries} queries, qrels -> {d}")
 
 

@@ -407,7 +407,12 @@ def main():
     except Exception:
         pass
 
+    KNOWN = {"attention", "ffn", "mips", "citadel", "train"}
     only = set(args.only.split(",")) if args.only else None
+    if only is not None and (only - KNOWN or not only & KNOWN):
+        # a typo'd --only would run ZERO checks and exit {"ok": true} —
+        # a silent false-green on the gate guarding TPU-only regressions
+        p.error(f"--only tags must be from {sorted(KNOWN)}; got {sorted(only)}")
 
     def want(tag):
         return only is None or tag in only
@@ -423,7 +428,7 @@ def main():
     if want("train"):
         check_train_step()
 
-    ok = all(v["ok"] for v in RESULTS.values())
+    ok = bool(RESULTS) and all(v["ok"] for v in RESULTS.values())
     verdict = {"ok": ok, "checks": RESULTS, "device": str(jax.devices()[0])}
     line = json.dumps(verdict)
     print(line)
