@@ -28,9 +28,38 @@ K = 100
 NORTH_STAR_ROWSCORES_PER_CHIP = 10_000 * 21_000_000 / 8
 
 
+def _probe_device(timeout_s: int = 300) -> None:
+    """Fail FAST when the accelerator is unreachable. jax.devices() on a
+    dead tunnel hangs indefinitely inside the backend — probing in a
+    bounded subprocess turns an indefinite hang into a clear error the
+    harness/driver can see."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, timeout=timeout_s, capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"[bench] device backend unreachable after {timeout_s}s "
+            "(tunnel down?) — aborting instead of hanging",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    except subprocess.CalledProcessError as e:
+        print(
+            f"[bench] device probe failed: {e.stderr.decode()[-500:]}",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+
+
 def main():
     import sys
 
+    _probe_device()
     # persistent compilation cache: repeat bench runs skip the ~1-2 min
     # XLA compiles (safe no-op where unsupported)
     try:
