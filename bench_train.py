@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main():
+    from bench import _probe_device
+
+    _probe_device()  # fail fast instead of hanging on a dead tunnel
     parser = argparse.ArgumentParser()
     parser.add_argument("--arch", default="bert_base")
     parser.add_argument("--batch", type=int, default=128)
