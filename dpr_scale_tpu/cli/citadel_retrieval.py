@@ -143,6 +143,8 @@ def main(argv=None):
     for qi in range(len(questions)):
         ctxs = []
         for sc, row in zip(scores[qi], rows[qi]):
+            if row < 0:  # placeholder slot (query touched < k docs)
+                continue
             p = passages[int(row)]
             ctxs.append(
                 {

@@ -176,6 +176,7 @@ class DeviceExpertIndex:
         # per bucket size: device arrays + expert->slot map
         self.buckets: Dict[int, dict] = {}
         self.cls: Optional[jax.Array] = None
+        self.cls_t: Optional[jax.Array] = None  # pre-transposed (1-dev)
         self._search_fns: Dict[Tuple[int, int], callable] = {}
         # same accounting dict as the host index (reference latency dict,
         # citadel_retrieval_task.py:45,111-113); device work is async, so
@@ -293,6 +294,10 @@ class DeviceExpertIndex:
                 )
             else:
                 self.cls = jax.device_put(jnp.asarray(host_index.cls, dtype))
+                # transposed ONCE at build: `.T` per search would dispatch
+                # an eager whole-matrix transpose (num_docs x dim moved)
+                # before every jitted call
+                self.cls_t = jnp.asarray(self.cls.T)
         return self
 
     def _expert_sharding(self):
@@ -326,10 +331,18 @@ class DeviceExpertIndex:
         TL = min(L, 2048)
         # G entries per grid step: one entry/step costs ~5.5 us of fixed
         # step overhead (measured: 24 GB/s effective); batching G manual
-        # DMAs per step amortizes it to ~DMA speed
+        # DMAs per step amortizes it to ~DMA speed. The scratch budget
+        # uses the REAL posting itemsize (fp32 parity mode doubles bf16);
+        # G bottoms out at 1 and then TL halves — a hardcoded 2-byte /
+        # G>=8 floor let the (G, TL, D) scratch exceed physical VMEM at
+        # D=768 (24 MB vs ~16 MB) and fail in Mosaic at runtime.
+        step_bytes = lambda g, tl: g * tl * D * vecs.dtype.itemsize
+        BUDGET = 6 * 1024 * 1024
         G = 32
-        while G * TL * D * 2 > 6 * 1024 * 1024 and G > 8:
+        while step_bytes(G, TL) > BUDGET and G > 1:
             G //= 2
+        while step_bytes(G, TL) > BUDGET and TL > 256 and L % (TL // 2) == 0:
+            TL //= 2
         G = min(G, E)
         while E % G:  # two-significant-bit E (e.g. 48) with pow2 G
             G //= 2
@@ -562,22 +575,40 @@ class DeviceExpertIndex:
         # the sorted key (shift/mask or constant-divisor div, both cheap
         # VPU ops). Pad rows are B, so the key range is (B+1)*(nd+2).
         if (batch + 1) * (nd + 2) < 2**31:
-            ktype = jnp.int32
+            key = rows.astype(jnp.int32) * (nd + 2) + docs.astype(jnp.int32)
+            skey, svals = jax.lax.sort((key, vals), num_keys=1)
+            sdocs = (skey % (nd + 2)).astype(jnp.int32)
+            srows = (skey // (nd + 2)).astype(jnp.int32)
+
+            def shifted_equal(d):
+                sh_k = jnp.concatenate([skey[d:], jnp.full((d,), -1, skey.dtype)])
+                return sh_k == skey
         else:
-            ktype = jnp.int64
-        key = rows.astype(ktype) * (nd + 2) + docs.astype(ktype)
-        skey, svals = jax.lax.sort((key, vals), num_keys=1)
-        sdocs = (skey % (nd + 2)).astype(jnp.int32)
-        srows = (skey // (nd + 2)).astype(jnp.int32)
-        U = skey.shape[0]
+            # the packed key would need int64, but without jax_enable_x64
+            # astype(int64) SILENTLY stays int32 (overflowed keys would
+            # merge unrelated (row, doc) pairs): sort lexicographically by
+            # two int32 keys instead — one extra sort operand, same math
+            srows, sdocs, svals = jax.lax.sort(
+                (rows.astype(jnp.int32), docs.astype(jnp.int32), vals),
+                num_keys=2,
+            )
+
+            def shifted_equal(d):
+                sh_r = jnp.concatenate([srows[d:], jnp.full((d,), -1, jnp.int32)])
+                sh_d = jnp.concatenate([sdocs[d:], jnp.full((d,), -1, jnp.int32)])
+                return (sh_r == srows) & (sh_d == sdocs)
+
+        U = srows.shape[0]
         d = 1
         while d < mdup:
             sh_v = jnp.concatenate([svals[d:], jnp.zeros((d,), svals.dtype)])
-            sh_k = jnp.concatenate([skey[d:], jnp.full((d,), -1, skey.dtype)])
-            svals = svals + jnp.where(sh_k == skey, sh_v, 0.0)
+            svals = svals + jnp.where(shifted_equal(d), sh_v, 0.0)
             d *= 2
         is_start = jnp.concatenate(
-            [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+            [
+                jnp.ones((1,), bool),
+                ~((srows[1:] == srows[:-1]) & (sdocs[1:] == sdocs[:-1])),
+            ]
         )
         tot = jnp.where(is_start & (sdocs < nd), svals, -jnp.inf)
         r2, negtot, d2 = jax.lax.sort(
@@ -595,7 +626,9 @@ class DeviceExpertIndex:
         cand_d = d2[idx_c]
         valid = (idx < row_ends[:, None]) & jnp.isfinite(cand_s)
         s = jnp.where(valid, cand_s, 0.0)
-        doc = jnp.where(valid, cand_d, 0)
+        # placeholder slots (rows touching < k docs) carry -1, not a
+        # REPEATED doc 0 — duplicate doc ids per query corrupt TREC runs
+        doc = jnp.where(valid, cand_d, -1)
         return s, doc
 
     def _combine_updates(self, rows, docs, vals, batch, k, has_cls, q_cls, cls_t):
@@ -992,7 +1025,7 @@ class DeviceExpertIndex:
             if has_cls:
                 q_cls = jnp.asarray(np.asarray(query_out["cls_repr"], np.float32))
                 s, idx = run(
-                    tuple(bucket_args), packed_i, packed_q, q_cls, self.cls.T
+                    tuple(bucket_args), packed_i, packed_q, q_cls, self.cls_t
                 )
             else:
                 s, idx = run(tuple(bucket_args), packed_i, packed_q)

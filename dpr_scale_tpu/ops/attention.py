@@ -55,6 +55,17 @@ def _chunks(B: int, nh: int, L: int, hd: int, itemsize: int):
     # per (seq, head): ~4 live fp32 (L, L) intermediates in the bwd
     # kernel (s/p/dp/ds) + in/out (L, hd) blocks, double-buffered
     per_unit = 4 * L * L * 4 + L * hd * itemsize * 14
+    if per_unit > _VMEM_BUDGET:
+        # a single (seq, head) unit no longer fits: launching anyway
+        # would fail deep inside Mosaic — fail at the op boundary with
+        # the actual limit instead (BERT-family shapes are L<=512;
+        # longer sequences need a flash-style L-tiled kernel)
+        raise ValueError(
+            f"fused_attention: one (seq, head) unit needs {per_unit} B of "
+            f"VMEM (> {_VMEM_BUDGET} B budget) at L={L}, head_dim={hd}. "
+            "Use the unfused attention path (cfg.fused_attention=False) "
+            "for sequences this long."
+        )
     hch = 1
     for h in range(nh, 0, -1):
         if nh % h == 0 and h * per_unit <= _VMEM_BUDGET:

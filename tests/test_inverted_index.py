@@ -272,17 +272,23 @@ def test_stream_cfg_tiles_are_hardware_legal():
             assert TL * D * itemsize > STREAM_CHUNK // 4, (D, itemsize, L, TL)
 
 
-def test_sorted_combine_last_row_pad_isolation():
+@pytest.mark.parametrize("num_docs", [100_000, 2**30])
+def test_sorted_combine_last_row_pad_isolation(num_docs):
     """Regression: pad entries (row == batch, real doc ids, value 0.0)
     sort AFTER the real rows, and the last row's segment end used to be
     set to U — so a last row touching < k docs got pad doc ids with
-    score 0.0 in its top-k, displacing its real (negative-score) docs."""
+    score 0.0 in its top-k, displacing its real (negative-score) docs.
+
+    num_docs=2**30 forces the TWO-KEY sort branch: the packed key would
+    need int64, which silently stays int32 without jax_enable_x64
+    (overflowed keys would merge unrelated (row, doc) pairs)."""
     import jax.numpy as jnp
 
     from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
 
     idx = DeviceExpertIndex.__new__(DeviceExpertIndex)
-    idx.num_docs = 100_000
+    idx.num_docs = num_docs
+    assert ((3) * (num_docs + 2) < 2**31) == (num_docs == 100_000)
     batch, k = 2, 4
     rows = np.array([0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 2, 2], np.int32)
     docs = np.array([10, 20, 30, 40, 50, 60, 7, 8, 11, 22, 33, 44], np.int32)
@@ -303,7 +309,7 @@ def test_sorted_combine_last_row_pad_isolation():
     # be masked placeholders, NOT the pad entries' doc ids at 0.0
     assert set(d[1][:2]) == {7, 8}
     np.testing.assert_allclose(sorted(s[1][:2], reverse=True), [-1.0, -2.0])
-    np.testing.assert_array_equal(d[1][2:], 0)
+    np.testing.assert_array_equal(d[1][2:], -1)  # placeholders, not doc 0
     np.testing.assert_allclose(s[1][2:], 0.0)
 
 
