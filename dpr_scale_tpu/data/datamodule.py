@@ -190,13 +190,20 @@ class DenseRetrieverDataModule:
             yield [int(i) for i in idx]
 
     def _iter(
-        self, dataset, order, batch_size, stage, epoch: int = 0
+        self, dataset, order, batch_size, stage, epoch: int = 0, start_batch: int = 0
     ) -> Iterator[Dict[str, np.ndarray]]:
         stage_id = {"train": 0, "eval": 1, "test": 2}[stage]
 
         def keyed_batches():
+            # resume support: slice the epoch order at the batch level and
+            # offset the position in the RNG key, so batch `start_batch + i`
+            # is byte-identical to the unskipped stream without paying
+            # sampling/tokenization for the skipped prefix (a restore deep
+            # into a large epoch used to replay host collate for every
+            # skipped batch)
+            sliced = order[start_batch * batch_size :]
             for bi, idx in enumerate(
-                self._batch_indices(order, batch_size, stage)
+                self._batch_indices(sliced, batch_size, stage), start=start_batch
             ):
                 # per-batch RNG key: batch content is a pure function of
                 # (seed, epoch, stage, position) in BOTH the serial and
@@ -222,7 +229,9 @@ class DenseRetrieverDataModule:
         rows = [dataset[i % len(dataset)] for i in range(bs)]
         return self.batcher(self.builder.build_batch(rows, stage))
 
-    def train_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def train_batches(
+        self, epoch: int = 0, start_batch: int = 0
+    ) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.train_dataset)
         if self.contiguous_chunks > 1:
             # node-contiguous sampling for mmap page locality: shuffle
@@ -240,7 +249,7 @@ class DenseRetrieverDataModule:
             rng = np.random.default_rng(self.seed + epoch)
             order = rng.permutation(n)
         return self._iter(
-            self.train_dataset, order, self.batch_size, "train", epoch
+            self.train_dataset, order, self.batch_size, "train", epoch, start_batch
         )
 
     def val_batches(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -289,12 +298,19 @@ class DistillDataModule:
         n = len(self.train_dataset)
         return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
 
-    def _iter(self, dataset, order, stage):
+    def _iter(self, dataset, order, stage, epoch: int = 0, start_batch: int = 0):
         def gen():
-            for lo in range(0, len(order), self.batch_size):
-                idx = order[lo : lo + self.batch_size]
+            sliced = order[start_batch * self.batch_size :]
+            for bi in range(0, len(sliced), self.batch_size):
+                idx = sliced[bi : bi + self.batch_size]
                 if stage == "train" and self.drop_last and len(idx) < self.batch_size:
                     return
+                # per-batch RNG key -> batches are pure functions of their
+                # position, so index-level resume skipping reproduces the
+                # unskipped stream exactly
+                self.builder.reseed(
+                    (int(self.seed), int(epoch), bi // self.batch_size + start_batch)
+                )
                 rows = [dataset[int(i)] for i in idx]
                 yield self.batcher(self.builder.build_batch(rows, stage))
 
@@ -305,10 +321,14 @@ class DistillDataModule:
         rows = [dataset[i % len(dataset)] for i in range(self.batch_size)]
         return self.batcher(self.builder.build_batch(rows, stage))
 
-    def train_batches(self, epoch: int = 0):
+    def train_batches(self, epoch: int = 0, start_batch: int = 0):
         rng = np.random.default_rng(self.seed + epoch)
         return self._iter(
-            self.train_dataset, rng.permutation(len(self.train_dataset)), "train"
+            self.train_dataset,
+            rng.permutation(len(self.train_dataset)),
+            "train",
+            epoch,
+            start_batch,
         )
 
     def val_batches(self):

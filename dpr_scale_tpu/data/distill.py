@@ -22,6 +22,12 @@ class DistillExampleBuilder:
         self.pos_ctx_sample = pos_ctx_sample
         self._rng = np.random.default_rng(seed)
 
+    def reseed(self, entropy) -> None:
+        """Pin the sampling RNG to a per-batch key so each batch is a pure
+        function of its (seed, epoch, position) — required for index-level
+        resume skipping (same contract as DPRExampleBuilder.reseed)."""
+        self._rng = np.random.default_rng(list(entropy))
+
     def build_batch(self, rows: Sequence, stage: str = "train") -> Dict[str, list]:
         questions: List[str] = []
         targets: List[List[float]] = []

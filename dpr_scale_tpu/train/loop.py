@@ -60,8 +60,12 @@ class Trainer:
         # replay it — otherwise every supervise-requeue with --resume
         # retrains max_epochs more epochs at the decayed-floor LR.
         # Completed epochs are skipped outright; a mid-epoch restore
-        # (eval_every_steps checkpoint) replays that epoch's data order
-        # without device steps up to the restored position.
+        # (eval_every_steps checkpoint) continues that epoch's data order
+        # from the restored position. The skip happens at the sampler
+        # INDEX level (train_batches(start_batch=...)): batches are pure
+        # functions of (seed, epoch, position), so no host collate is paid
+        # for the skipped prefix — a restore deep into a 28M-row epoch
+        # used to replay hours of sampling+tokenization.
         steps_per_epoch = self.dm.steps_per_epoch()
         start_epoch = (
             min(global_step // steps_per_epoch, self.max_epochs)
@@ -72,10 +76,14 @@ class Trainer:
 
         for epoch in range(start_epoch, self.max_epochs):
             epoch_arr = jnp.asarray(epoch, jnp.float32)  # traced: no retrace/epoch
-            for batch in self.dm.train_batches(epoch):
-                if skip > 0:
-                    skip -= 1
-                    continue
+            try:
+                batches = self.dm.train_batches(epoch, start_batch=skip)
+            except TypeError:  # datamodule without index-level skip support
+                batches = self.dm.train_batches(epoch)
+                for _ in range(skip):
+                    next(batches, None)
+            skip = 0
+            for batch in batches:
                 examples += len(batch.get("pos_ctx_indices", batch["query_ids"]))
                 state, metrics = train_step(state, self.task.shard(batch), epoch_arr)
                 global_step += 1

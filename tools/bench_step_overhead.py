@@ -11,11 +11,14 @@ surgical variants:
   full        the production step (clipped AdamW + grad_norm metric)
   sgd         optimizer swapped for plain SGD   -> AdamW+clip HBM traffic
   no_gnorm    grad_norm metric dropped          -> the extra grad read
+  grads_all   value_and_grad keeping EVERY grad leaf alive, NO optimizer
+              update -> (no_gnorm - grads_all) is the optimizer+apply
+              cost, (grads_all - grads_only) is the pure WGRAD share
   grads_only  value_and_grad keeping ONE grad leaf alive -> XLA DCEs the
-              other params' wgrad matmuls, so (no_gnorm - grads_only)
-              isolates the WGRAD share of the backward (not optimizer
-              cost -- that is full - sgd)
-  fwd_only    loss forward only                 -> backward cost
+              other params' wgrad matmuls; (grads_only - fwd_only) is
+              the DGRAD-only share of the backward (wgrads DCE'd), NOT
+              the full backward -- that is (grads_all - fwd_only)
+  fwd_only    loss forward only
 
 Each variant is a separate jit with donated state, timed over --steps
 dispatches with a scalar fetch (tunnel-safe). Differences between rows
@@ -134,6 +137,24 @@ def main():
         jax.jit(step_no_gnorm, donate_argnums=(0,)), fresh_state(), "no_gnorm"
     )
 
+    # grads_all: EVERY grad leaf alive (one element read per leaf keeps
+    # XLA from DCE-ing any wgrad matmul) but no optimizer update/apply --
+    # the clean "full backward" row
+    def step_grads_all(state, b):
+        step_rng = task_full._step_dropout_rng(state)
+        (loss, _s), grads = jax.value_and_grad(
+            task_full._loss_fn, has_aux=True
+        )(state.params, b, step_rng)
+        keep = sum(l.ravel()[0] for l in jax.tree_util.tree_leaves(grads))
+        return state.replace(step=state.step + 1), {
+            "train_loss": loss,
+            "gsum": keep,
+        }
+
+    results["grads_all"], _ = timed(
+        jax.jit(step_grads_all, donate_argnums=(0,)), fresh_state(), "grads_all"
+    )
+
     # grads_only: one live grad leaf -- the rest of the wgrads DCE away
     def step_grads(state, b):
         step_rng = task_full._step_dropout_rng(state)
@@ -172,11 +193,17 @@ def main():
                 **{k: round(v, 2) for k, v in results.items()},
                 "adamw_clip_cost_ms": round(results["full"] - results["sgd"], 2),
                 "gnorm_cost_ms": round(results["full"] - results["no_gnorm"], 2),
-                "wgrad_dce_ms": round(
-                    results["no_gnorm"] - results["grads_only"], 2
+                "opt_apply_ms": round(
+                    results["no_gnorm"] - results["grads_all"], 2
                 ),
-                "bwd_cost_ms": round(
+                "wgrad_ms": round(
+                    results["grads_all"] - results["grads_only"], 2
+                ),
+                "dgrad_cost_ms": round(
                     results["grads_only"] - results["fwd_only"], 2
+                ),
+                "bwd_full_ms": round(
+                    results["grads_all"] - results["fwd_only"], 2
                 ),
                 "full_tflops": round(step_tflop / (full_ms * 1e-3), 1),
             }
