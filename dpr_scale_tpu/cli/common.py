@@ -55,6 +55,7 @@ def build_model_config(cfg: Config) -> TransformerConfig:
             "attention_dropout",
             "remat",
             "fused_attention",
+            "fused_ffn",
         )
         if k in m
     }
@@ -99,11 +100,19 @@ def check_vocab_compat(tokenizer, model_cfg) -> None:
         )
 
 
-def build_optimizer(cfg: Config, total_steps: int):
+def build_lr_schedule(cfg: Config, total_steps: int):
+    """The LR schedule as a standalone fn (also used by the Trainer to log
+    the per-step ``lr`` metric — the reference's LearningRateMonitor,
+    main.py:31)."""
     o = cfg.task.optim
-    schedule = linear_warmup_decay(
+    return linear_warmup_decay(
         o.get("lr", 1e-5), cfg.task.get("warmup_steps", 0), total_steps
     )
+
+
+def build_optimizer(cfg: Config, total_steps: int):
+    o = cfg.task.optim
+    schedule = build_lr_schedule(cfg, total_steps)
     return make_optimizer(
         name=o.get("name", "adamw"),
         learning_rate=schedule,

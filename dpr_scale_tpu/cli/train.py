@@ -13,6 +13,7 @@ import jax
 from dpr_scale_tpu.config import load_config
 from dpr_scale_tpu.cli.common import (
     build_datamodule,
+    build_lr_schedule,
     build_optimizer,
     build_task,
     build_tokenizer,
@@ -106,6 +107,7 @@ def main(argv=None):
         eval_every_steps=tr.get("eval_every_steps"),
         logger=logger,
         profile_dir=tr.get("profile_dir"),
+        lr_schedule=build_lr_schedule(cfg, total_steps),
     )
 
     # init from an example batch (shapes are static per config); built

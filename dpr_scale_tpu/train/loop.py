@@ -26,6 +26,7 @@ class Trainer:
         eval_every_steps: Optional[int] = None,
         logger: Optional[MetricLogger] = None,
         profile_dir: Optional[str] = None,
+        lr_schedule=None,
     ):
         self.task = task
         self.dm = datamodule
@@ -36,6 +37,12 @@ class Trainer:
         self.eval_every_steps = eval_every_steps
         self.log = logger or MetricLogger()
         self.profile_dir = profile_dir
+        # lr_schedule: logged as the per-step ``lr`` metric (reference
+        # LearningRateMonitor, main.py:31). The loop's global_step and the
+        # optimizer's schedule count are restored from the SAME checkpoint,
+        # so schedule(global_step) is the LR the update actually used — a
+        # resume that restarted the schedule shows as an lr discontinuity.
+        self.lr_schedule = lr_schedule
         self._last_validated_step = -1
 
     def total_steps(self) -> int:
@@ -90,14 +97,17 @@ class Trainer:
                 if global_step % self.log_every == 0:
                     metrics = jax.device_get(metrics)
                     dt = time.time() - t0
-                    self.log.scalars(
-                        global_step,
-                        {
-                            "train_loss": float(metrics["train_loss"]),
-                            "grad_norm": float(metrics["grad_norm"]),
-                            "queries_per_s": examples / max(dt, 1e-9),
-                        },
-                    )
+                    scalars = {
+                        "train_loss": float(metrics["train_loss"]),
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "queries_per_s": examples / max(dt, 1e-9),
+                    }
+                    if self.lr_schedule is not None:
+                        # schedule counts applied updates: global_step
+                        # updates have been applied, the last at count
+                        # global_step - 1
+                        scalars["lr"] = float(self.lr_schedule(global_step - 1))
+                    self.log.scalars(global_step, scalars)
                     t0, examples = time.time(), 0
                 if self.eval_every_steps and global_step % self.eval_every_steps == 0:
                     self._validate(state, global_step)

@@ -1,0 +1,470 @@
+"""Production-shape training campaign with a mid-run SIGKILL + supervised resume.
+
+The reference's primary artifact is a multi-epoch ``trainer.fit`` run under
+SLURM requeue (reference dpr_scale/main.py:43, conf/trainer/slurm.yaml:19-23
+``timeout_min``/requeue budgets, conf/checkpoint_callback/default.yaml
+top-k-on-mrr rotation). This harness drives the same operational envelope
+end-to-end on real hardware and ASSERTS the properties a parity run must
+survive:
+
+  1. generates a learnable ICT-shaped synthetic corpus (question words are
+     a subset of the positive passage's words) big enough for thousands of
+     real optimizer steps at a production config;
+  2. launches ``cli.supervise`` wrapping ``cli.train`` with periodic
+     validation + checkpoint-best rotation (eval_every_steps);
+  3. SIGKILLs the *training process* (not the supervisor) mid-epoch once
+     the step log crosses ``--kill-at-step``;
+  4. waits for the supervisor to restart it with ``--resume`` and run the
+     campaign to completion;
+  5. verifies from the metrics JSONL and the checkpoint directory:
+       - loss-curve continuity: the steps re-run after the restore (between
+         the restored checkpoint and the kill point) are logged twice; the
+         two passes must agree (same state + same sampler stream => same
+         losses up to hardware nondeterminism);
+       - LR-schedule continuity: the logged ``lr`` at overlapping steps is
+         identical — a resume that restarted the schedule (the requeue bug
+         class) shows as a discontinuity;
+       - checkpoint-best rotation: the retained orbax steps are exactly the
+         top-k validations by monitored metric, and best_step is the argmax;
+       - the restore gap (kill -> first post-restart logged step) and
+         steady-state queries/s before and after the boundary.
+
+Writes ONE JSON artifact (--out), exits nonzero if any assertion fails.
+
+Usage:
+    python tools/run_campaign.py --out docs/CAMPAIGN_r04.json \
+        [--rows 128000] [--epochs 3] [--batch 128] [--kill-at-step 1400]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+# --------------------------------------------------------------------- #
+# fixture
+
+
+def build_fixture(workdir: str, rows: int, val_rows: int, content_words: int = 6000):
+    """ICT-shaped learnable data: each row draws a bag of content words;
+    the positive passage is sampled from the bag, the question is a subset
+    of the SAME bag (reference prep_wiki.py ICT recipe, utils/prep_wiki.py:44-125),
+    hard negative from the next row's bag. Vocab is padded to bert-base's
+    30522 so the embedding table is production-sized."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    words = np.array([f"w{i:05d}" for i in range(content_words)])
+
+    tok_dir = os.path.join(workdir, "tok")
+    os.makedirs(tok_dir, exist_ok=True)
+    filler = [f"unused{i:05d}" for i in range(30522 - 5 - content_words)]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words.tolist() + filler
+    with open(os.path.join(tok_dir, "vocab.txt"), "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    from transformers import BertTokenizerFast
+
+    BertTokenizerFast(vocab_file=os.path.join(tok_dir, "vocab.txt")).save_pretrained(
+        tok_dir
+    )
+
+    def rows_to_file(path: str, n: int, seed_rng):
+        # vectorized draw: per-row 24-word bag; passage 90 draws from the
+        # bag, question 12 draws from the bag, negative = previous row's
+        # passage (a hard negative: same marginal distribution)
+        bags = seed_rng.integers(0, content_words, size=(n, 24))
+        psg_idx = seed_rng.integers(0, 24, size=(n, 90))
+        q_idx = seed_rng.integers(0, 24, size=(n, 12))
+        psg = words[np.take_along_axis(bags, psg_idx, axis=1)]
+        qs = words[np.take_along_axis(bags, q_idx, axis=1)]
+        with open(path, "w") as f:
+            for i in range(n):
+                row = {
+                    "question": " ".join(qs[i]),
+                    "positive_ctxs": [
+                        {"title": f"doc {i}", "text": " ".join(psg[i])}
+                    ],
+                    "hard_negative_ctxs": [
+                        {"title": f"doc {i-1}", "text": " ".join(psg[i - 1])}
+                    ],
+                }
+                f.write(json.dumps(row) + "\n")
+
+    train = os.path.join(workdir, "train.jsonl")
+    val = os.path.join(workdir, "val.jsonl")
+    rows_to_file(train, rows, rng)
+    rows_to_file(val, val_rows, rng)
+    return tok_dir, train, val
+
+
+CONFIG_TMPL = """\
+task:
+  type: dense
+  model:
+    arch: {arch}
+    vocab_size: 30522
+    fused_attention: true
+    fused_ffn: true
+  transform:
+    model_path: {tok_dir}
+    max_seq_len: {clen}
+  shared_model: true
+  softmax_temperature: 1.0
+  in_batch_eval: true
+  in_batch_negatives: true
+  warmup_steps: {warmup}
+  k: 1
+  optim:
+    name: adamw
+    lr: 2.0e-5
+datamodule:
+  train_path: {train}
+  val_path: {val}
+  batch_size: {batch}
+  num_negative: 1
+  num_val_negative: 10
+  use_title: true
+  query_max_seq_len: {qlen}
+trainer:
+  max_epochs: {epochs}
+  gradient_clip_val: 2.0
+  log_every: {log_every}
+  eval_every_steps: {eval_every}
+  metrics_jsonl: {metrics}
+checkpoint_callback:
+  dirpath: {ckpt}
+  monitor: mrr
+  mode: max
+  save_top_k: {top_k}
+  save_last: true
+seed: 0
+"""
+
+
+# --------------------------------------------------------------------- #
+# process plumbing
+
+
+def children_of(pid: int):
+    try:
+        with open(f"/proc/{pid}/task/{pid}/children") as f:
+            return [int(p) for p in f.read().split()]
+    except (FileNotFoundError, ProcessLookupError):
+        return []
+
+
+class Killer(threading.Thread):
+    """Polls the metrics JSONL; once a train_loss record crosses
+    ``kill_at_step``, SIGKILLs the supervisor's child (the training
+    process). Fires exactly once."""
+
+    def __init__(self, metrics_path: str, sup_pid: int, kill_at_step: int):
+        super().__init__(daemon=True)
+        self.metrics_path = metrics_path
+        self.sup_pid = sup_pid
+        self.kill_at_step = kill_at_step
+        self.killed_at_step = None
+        self.kill_ts = None
+        self.error = None
+
+    def run(self):
+        while True:
+            time.sleep(1.0)
+            try:
+                last_step = -1
+                if os.path.exists(self.metrics_path):
+                    with open(self.metrics_path) as f:
+                        for line in f:
+                            try:
+                                rec = json.loads(line)
+                            except json.JSONDecodeError:
+                                continue  # partial trailing line
+                            if "train_loss" in rec:
+                                last_step = max(last_step, rec["step"])
+                if last_step >= self.kill_at_step:
+                    kids = children_of(self.sup_pid)
+                    if not kids:
+                        self.error = "threshold crossed but supervisor has no child"
+                        return
+                    os.kill(kids[0], signal.SIGKILL)
+                    self.killed_at_step = last_step
+                    self.kill_ts = time.time()
+                    print(
+                        f"[campaign] SIGKILLed train pid {kids[0]} at logged "
+                        f"step {last_step}",
+                        flush=True,
+                    )
+                    return
+                if children_of(self.sup_pid) == [] and not os.path.exists(
+                    f"/proc/{self.sup_pid}"
+                ):
+                    self.error = "supervisor exited before kill threshold"
+                    return
+            except Exception as e:  # pragma: no cover - diagnostics only
+                self.error = f"{type(e).__name__}: {e}"
+                return
+
+
+# --------------------------------------------------------------------- #
+# analysis
+
+
+def analyze(metrics_path: str, kill_ts: float, log_every: int):
+    train_recs, eval_recs = [], []
+    with open(metrics_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train_loss" in rec:
+                train_recs.append(rec)
+            elif "valid_mrr" in rec:
+                eval_recs.append(rec)
+
+    # restart boundary: step goes backwards in the appended log
+    boundary = None
+    for i in range(1, len(train_recs)):
+        if train_recs[i]["step"] <= train_recs[i - 1]["step"]:
+            boundary = i
+            break
+    assert boundary is not None, "no restart boundary found in the metrics log"
+    pre, post = train_recs[:boundary], train_recs[boundary:]
+
+    pre_by_step = {r["step"]: r for r in pre}
+    overlap = [r for r in post if r["step"] in pre_by_step]
+    assert overlap, (
+        "no overlapping steps across the restart boundary — the restore "
+        "did not land before the kill point"
+    )
+    loss_rel_diffs, lr_diffs = [], []
+    for r in overlap:
+        p = pre_by_step[r["step"]]
+        loss_rel_diffs.append(
+            abs(r["train_loss"] - p["train_loss"]) / max(abs(p["train_loss"]), 1e-9)
+        )
+        lr_diffs.append(abs(r.get("lr", 0.0) - p.get("lr", 0.0)))
+
+    # monotone schedule across the whole campaign: collapse duplicate steps
+    # (post-restart wins = what the optimizer actually consumed last)
+    by_step = {r["step"]: r for r in train_recs}
+    steps_sorted = sorted(by_step)
+    # q/s steady state: median, skipping the first few samples of each run
+    # (they absorb compile time)
+    def steady_qps(recs, skip=3):
+        vals = [r["queries_per_s"] for r in recs[skip:]]
+        vals.sort()
+        return vals[len(vals) // 2] if vals else None
+
+    restore_gap_s = post[0]["ts"] - kill_ts
+    return {
+        "boundary_index": boundary,
+        "last_step_before_kill": pre[-1]["step"],
+        "first_step_after_restore": post[0]["step"],
+        # train_loss records land only on log_every multiples; the final
+        # epoch-end validation is the record that pins the true last step
+        "final_step": max(
+            steps_sorted[-1], max((r["step"] for r in eval_recs), default=-1)
+        ),
+        "n_train_log_records": len(train_recs),
+        "overlap_steps": [r["step"] for r in overlap],
+        "loss_rel_diff_max_on_overlap": max(loss_rel_diffs),
+        "lr_abs_diff_max_on_overlap": max(lr_diffs),
+        "restore_gap_s": restore_gap_s,
+        "steady_qps_pre_kill": steady_qps(pre),
+        "steady_qps_post_restore": steady_qps(post),
+        "loss_first": train_recs[0]["train_loss"],
+        "loss_around_kill": pre[-1]["train_loss"],
+        "loss_final": by_step[steps_sorted[-1]]["train_loss"],
+        "evals": [
+            {"step": r["step"], "mrr": r["valid_mrr"], "loss": r["valid_loss"]}
+            for r in eval_recs
+        ],
+    }
+
+
+def check_rotation(ckpt_dir: str, evals, top_k: int):
+    """Retained orbax step dirs must be the top-k validations by mrr
+    (post-restart re-validations overwrite the same steps)."""
+    retained = sorted(
+        int(d) for d in os.listdir(ckpt_dir) if d.isdigit()
+    )
+    by_step = {}
+    for e in evals:  # later (post-restart) eval of the same step wins
+        by_step[e["step"]] = e["mrr"]
+    expect = sorted(
+        by_step, key=lambda s: (by_step[s], s), reverse=True
+    )[:top_k]
+    assert set(retained) == set(expect), (
+        f"checkpoint rotation mismatch: retained {retained}, "
+        f"expected top-{top_k} by mrr {sorted(expect)}"
+    )
+    assert os.path.isdir(os.path.join(ckpt_dir, "last")), "save_last missing"
+    return retained
+
+
+# --------------------------------------------------------------------- #
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", default="/tmp/campaign_r04")
+    ap.add_argument("--out", default="docs/CAMPAIGN_r04.json")
+    ap.add_argument("--rows", type=int, default=128_000)
+    ap.add_argument("--val-rows", type=int, default=1024)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--arch", default="bert_base")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--qlen", type=int, default=32)
+    ap.add_argument("--clen", type=int, default=256)
+    ap.add_argument("--warmup", type=int, default=300)
+    ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--top-k", type=int, default=3)
+    ap.add_argument("--kill-at-step", type=int, default=1400)
+    ap.add_argument("--budget-s", type=float, default=7200.0)
+    ap.add_argument(
+        "--no-learning-check",
+        action="store_true",
+        help="skip the loss/mrr-trend assertion (tiny-model CPU smokes)",
+    )
+    ap.add_argument(
+        "--force-platform",
+        default=None,
+        help="DPR_FORCE_PLATFORM for the train subprocesses (cpu smoke runs)",
+    )
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    metrics_path = os.path.join(args.workdir, "metrics.jsonl")
+    ckpt_dir = os.path.join(args.workdir, "ckpt")
+    for stale in (metrics_path,):
+        if os.path.exists(stale):
+            os.remove(stale)
+
+    print("[campaign] building fixture ...", flush=True)
+    tok_dir, train, val = build_fixture(args.workdir, args.rows, args.val_rows)
+    cfg_path = os.path.join(args.workdir, "campaign.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            CONFIG_TMPL.format(
+                arch=args.arch,
+                tok_dir=tok_dir,
+                clen=args.clen,
+                qlen=args.qlen,
+                warmup=args.warmup,
+                train=train,
+                val=val,
+                batch=args.batch,
+                epochs=args.epochs,
+                log_every=args.log_every,
+                eval_every=args.eval_every,
+                metrics=metrics_path,
+                ckpt=ckpt_dir,
+                top_k=args.top_k,
+            )
+        )
+
+    steps_per_epoch = args.rows // args.batch
+    total_steps = steps_per_epoch * args.epochs
+    assert args.kill_at_step < total_steps - args.eval_every, (
+        "kill point too late: nothing left to re-run after the restore"
+    )
+
+    cmd = [
+        sys.executable,
+        "-m",
+        "dpr_scale_tpu.cli.supervise",
+        "--max-crashes",
+        "3",
+        "--backoff",
+        "5",
+        "--",
+        sys.executable,
+        "-m",
+        "dpr_scale_tpu.cli.train",
+        "--config",
+        cfg_path,
+    ]
+    env = dict(os.environ)
+    if args.force_platform:
+        env["DPR_FORCE_PLATFORM"] = args.force_platform
+    t_start = time.time()
+    print(f"[campaign] launching: {' '.join(cmd)}", flush=True)
+    sup = subprocess.Popen(cmd, cwd=REPO, env=env)
+    killer = Killer(metrics_path, sup.pid, args.kill_at_step)
+    killer.start()
+
+    try:
+        rc = sup.wait(timeout=args.budget_s)
+    except subprocess.TimeoutExpired:
+        sup.kill()
+        raise SystemExit("[campaign] FAILED: budget exhausted")
+    wall_s = time.time() - t_start
+    assert rc == 0, f"supervisor exited {rc}"
+    assert killer.error is None, f"killer error: {killer.error}"
+    assert killer.kill_ts is not None, "kill never fired"
+
+    report = analyze(metrics_path, killer.kill_ts, args.log_every)
+    retained = check_rotation(ckpt_dir, report["evals"], args.top_k)
+
+    # the assertions with teeth
+    assert report["loss_rel_diff_max_on_overlap"] < 5e-3, (
+        f"loss curve discontinuous across restore: "
+        f"{report['loss_rel_diff_max_on_overlap']}"
+    )
+    assert report["lr_abs_diff_max_on_overlap"] == 0.0, (
+        f"LR schedule discontinuous across restore: "
+        f"{report['lr_abs_diff_max_on_overlap']}"
+    )
+    assert report["final_step"] == total_steps, (
+        f"campaign ended at step {report['final_step']}, expected {total_steps}"
+    )
+    assert report["first_step_after_restore"] <= killer.killed_at_step, (
+        "restore jumped past the kill point"
+    )
+    if not args.no_learning_check:
+        mrrs = [e["mrr"] for e in report["evals"]]
+        assert mrrs[-1] > mrrs[0] and report["loss_final"] < report["loss_first"], (
+            "the model did not learn — loss/mrr trends are the evidence the "
+            "campaign trained, not just survived"
+        )
+    assert os.path.isdir(os.path.join(ckpt_dir, "params_best")), (
+        "params export of the best checkpoint missing"
+    )
+
+    out = {
+        "config": {
+            "arch": args.arch,
+            "batch": args.batch,
+            "qlen": args.qlen,
+            "clen": args.clen,
+            "rows": args.rows,
+            "epochs": args.epochs,
+            "steps_per_epoch": steps_per_epoch,
+            "total_steps": total_steps,
+            "eval_every_steps": args.eval_every,
+            "save_top_k": args.top_k,
+            "kill_at_step_threshold": args.kill_at_step,
+        },
+        "killed_at_logged_step": killer.killed_at_step,
+        "wall_s": round(wall_s, 1),
+        "retained_checkpoints": retained,
+        "ok": True,
+        **report,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "evals"}, indent=1))
+    print(f"[campaign] OK -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
