@@ -140,6 +140,30 @@ def test_checkpoint_manager_best_and_last(tmp_path):
     assert int(best["step"]) == 2
     last = mgr.restore_last(state)
     assert int(last["step"]) == 3
+    # "last" must be a host-side COPY, not a second device->host
+    # serialization and not a symlink into a rotatable step dir
+    last_state = tmp_path / "ckpt" / "last" / "state"
+    assert last_state.is_dir() and not last_state.is_symlink()
+    mgr.close()
+
+
+def test_checkpoint_last_survives_kill_mid_copy(tmp_path):
+    """A SIGKILL between _copy_last's renames leaves state.old; restore_last
+    must fall back to it (the supervise drill kills at arbitrary points)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from dpr_scale_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor="mrr", save_top_k=2)
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(1)}
+    mgr.save(1, state, {"mrr": 0.3})
+    # simulate the kill window: new state renamed away before tmp landed
+    last = tmp_path / "ckpt" / "last"
+    os.rename(last / "state", last / "state.old")
+    restored = mgr.restore_last({"w": jnp.zeros(4), "step": jnp.asarray(0)})
+    assert int(restored["step"]) == 1
     mgr.close()
 
 
