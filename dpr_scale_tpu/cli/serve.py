@@ -79,6 +79,54 @@ def build_retriever(cfg) -> Retriever:
     return retriever
 
 
+def build_citadel_retriever(cfg):
+    """Multi-vector (CITADEL) serving tower behind the same coalescing
+    pipeline; configured from the ``serve_citadel`` config group (same
+    keys as cli.citadel_retrieval's task group)."""
+    from dpr_scale_tpu.cli.generate_multivec_embeddings import build_multivec_model
+    from dpr_scale_tpu.index.inverted import InvertedExpertIndex
+    from dpr_scale_tpu.retrieve.server import CitadelRetriever
+
+    sc = cfg["serve_citadel"]
+    tokenizer = build_tokenizer(cfg)
+    model, params = build_multivec_model(cfg, tokenizer)
+    check_vocab_compat(tokenizer, model.cfg)
+    passages = CSVDataset(cfg.datamodule["passages_path"])
+    index = InvertedExpertIndex.load(
+        sc["ctx_embeddings_dir"],
+        num_docs=len(passages),
+        portion=sc.get("portion", 1.0),
+        quantizer=sc.get("quantizer"),
+    )
+    if sc.get("device_index", True):  # serving default: device-resident
+        import jax.numpy as jnp
+
+        from dpr_scale_tpu.index.inverted_device import DeviceExpertIndex
+
+        mesh = None
+        if sc.get("expert_parallel", False):
+            from dpr_scale_tpu.parallel import get_mesh
+
+            mesh = get_mesh()
+        didtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            sc.get("device_index_dtype", "bfloat16")
+        ]
+        index = DeviceExpertIndex.from_host_index(index, dtype=didtype, mesh=mesh)
+    retriever = CitadelRetriever(
+        model,
+        params,
+        tokenizer,
+        index,
+        passages,
+        topk_route=sc.get("query_topk", 1),
+        add_cls=sc.get("add_cls", False),
+        default_k=sc.get("k", 10),
+        max_batch=sc.get("max_batch", 64),
+    )
+    retriever.search(["warmup"], k=retriever.default_k)
+    return retriever
+
+
 def main(argv=None):
     from dpr_scale_tpu.utils.compilation_cache import enable_compilation_cache
 
@@ -90,12 +138,16 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     s = cfg.get("serve", {})
 
-    retriever = build_retriever(cfg)
+    dense_configured = bool(cfg.get("task", {}).get("ctx_embeddings_dir"))
+    retriever = build_retriever(cfg) if dense_configured else None
+    citadel = build_citadel_retriever(cfg) if cfg.get("serve_citadel") else None
     host, port = s.get("host", "0.0.0.0"), s.get("port", 8080)
-    server = make_server(retriever, host, port)
+    server = make_server(retriever, host, port, citadel_retriever=citadel)
+    towers = [t for t, r in (("dense", retriever), ("citadel", citadel)) if r]
+    primary = retriever or citadel
     print(
-        f"Serving retrieval on {host}:{port} over "
-        f"{retriever.index.num_rows} passages"
+        f"Serving retrieval ({'+'.join(towers)}) on {host}:{port} over "
+        f"{primary.num_rows} passages"
     )
     server.serve_forever()
 

@@ -1,15 +1,38 @@
-"""Online retrieval serving: query text -> encoded -> exact MIPS -> passages.
+"""Online retrieval serving: query text -> encoded -> index search -> passages.
 
 The reference is train/eval tooling only ("not a serving system",
 SURVEY.md); this module adds the deployment surface the TPU build targets:
-a thread-safe retriever handle plus a stdlib HTTP server
-(``cli/serve.py``). Queries are padded into power-of-two batch buckets so
-the jitted encode+search programs are reused across request sizes.
+thread-safe retriever handles (dense MIPS and multi-vector CITADEL) plus a
+stdlib HTTP server (``cli/serve.py``). Queries are padded into
+power-of-two batch buckets so the jitted encode+search programs are reused
+across request sizes.
 
-API:
-    POST /search  {"questions": ["...", ...], "k": 10}
+Concurrency design — a TWO-STAGE coalescing pipeline per retriever:
+
+  request threads --> encode worker --> bounded queue --> search worker
+
+* Concurrent callers COALESCE: the encode worker merges everything pending
+  (bounded by ``coalesce_wait_ms`` after the first request) into one
+  padded device batch — under load the TPU sees large batches instead of a
+  serialized stream of small ones, which is where its throughput lives.
+* Encode of coalesced group N+1 OVERLAPS search of group N: tokenization
+  (host CPU), the encode dispatch/upload, and any host fetch of routing
+  data happen in the encode worker while the search worker still owns
+  group N's device search and result join. On a tunneled TPU the serving
+  path was previously tokenize -> encode -> search -> join strictly
+  serialized per batch (docs/STATUS.md round-3 HTTP numbers); the bounded
+  hand-off queue (depth 2) gives one group of lookahead with back-pressure.
+* Passage materialization (host dict/mmap lookups) happens on the REQUEST
+  thread, off the device critical path.
+
+The latency accounting mirrors the reference's retrieval-task timing
+surface (reference dpr_scale/task/citadel_retrieval_task.py:111-139).
+
+API (``make_server``):
+    POST /search          dense tower   {"questions": [...], "k": 10}
+    POST /search_citadel  multivec tower (when configured)
       -> {"results": [[{"id","title","text","score"}, ...], ...]}
-    GET /healthz  -> {"status": "ok", "corpus_rows": N}
+    GET /healthz  -> {"status": "ok", "corpus_rows": N, "towers": [...]}
 """
 from __future__ import annotations
 
@@ -33,67 +56,78 @@ class _Pending:
         self.scores = self.rows = self.error = None
 
 
-class Retriever:
-    """Encode queries and search the corpus; thread-safe.
+class _CoalescingPipeline:
+    """Two-stage encode/search pipeline shared by the retriever types.
 
-    Concurrent callers COALESCE: requests enqueue to a single worker that
-    merges everything pending (bounded by ``coalesce_wait_ms`` after the
-    first request) into one padded device batch — under load the TPU sees
-    large batches instead of a serialized stream of small ones, which is
-    where its throughput lives. Passage materialization (host dict/mmap
-    lookups) happens on the REQUEST thread, off the device critical path.
+    Subclasses implement:
+      * ``_encode_chunk(texts) -> payload`` — tokenize + device encode of
+        one <=max_batch chunk (runs on the encode worker);
+      * ``_search_payload(payload, k) -> (scores, rows)`` — index search of
+        one chunk's payload, host numpy outputs (runs on the search worker);
+      * ``num_rows`` — corpus size, for k clamping and /healthz.
     """
 
     def __init__(
         self,
-        encoder,  # CorpusEncoder with use_query_tower=True
-        tokenizer,
-        index,  # MipsIndex
         passages,  # CSVDataset
         default_k: int = 10,
         max_batch: int = 64,
         max_k: int = 1000,
         coalesce_wait_ms: float = 2.0,
+        search_queue_depth: int = 2,
     ):
-        self.encoder = encoder
-        self.tokenizer = tokenizer
-        self.index = index
         self.passages = passages
         self.default_k = default_k
         self.max_batch = max_batch
         self.max_k = max_k
         self.coalesce_wait_ms = coalesce_wait_ms
-        self._lock = threading.Lock()  # device pipeline (worker only)
-        self._queue: _queue.Queue = _queue.Queue()
-        self._worker_started = False
+        self._encode_q: _queue.Queue = _queue.Queue()
+        self._search_q: _queue.Queue = _queue.Queue(maxsize=search_queue_depth)
+        self._workers_started = False
         self._worker_lock = threading.Lock()
+
+    # -- subclass surface ------------------------------------------------ #
+
+    @property
+    def num_rows(self) -> int:
+        raise NotImplementedError
+
+    def _encode_chunk(self, texts: List[str]):
+        raise NotImplementedError
+
+    def _search_payload(self, payload, k: int):
+        raise NotImplementedError
+
+    # -- shared plumbing -------------------------------------------------- #
 
     def _pad_batch(self, n: int) -> int:
         return min(self.max_batch, max(8, 1 << (n - 1).bit_length()))
 
-    # ----------------------------------------------------------------- #
-
-    def _run_pipeline(self, texts: List[str], k_searched: int):
-        """Tokenize -> encode -> search, chunked by max_batch. Worker-only."""
+    def _run_one(self, texts: List[str], k_searched: int):
+        """Full pipeline for one request, chunked — the isolation/retry
+        path when a coalesced group fails."""
         all_s, all_r = [], []
-        with self._lock:
-            for lo in range(0, len(texts), self.max_batch):
-                chunk = texts[lo : lo + self.max_batch]
-                pad_b = self._pad_batch(len(chunk))
-                padded = chunk + [""] * (pad_b - len(chunk))
-                ids, mask = self.tokenizer(padded)
-                emb = np.asarray(
-                    self.encoder._encode(self.encoder.params, ids, mask),
-                    dtype=np.float32,
-                )
-                scores, rows = self.index.search(emb, k_searched)
-                all_s.append(scores[: len(chunk)])
-                all_r.append(rows[: len(chunk)])
+        for lo in range(0, len(texts), self.max_batch):
+            chunk = texts[lo : lo + self.max_batch]
+            payload = self._encode_chunk(chunk)
+            s, r = self._search_payload(payload, k_searched)
+            all_s.append(s[: len(chunk)])
+            all_r.append(r[: len(chunk)])
         return np.concatenate(all_s), np.concatenate(all_r)
 
-    def _worker(self):
+    def _isolate(self, batch: List[_Pending]):
+        """A poisoned request coalesced with healthy ones must not fail
+        unrelated callers — retry each request alone (rare path)."""
+        for r in batch:
+            try:
+                r.scores, r.rows = self._run_one(r.texts, r.k_searched)
+            except Exception as e_r:  # noqa: BLE001
+                r.error = e_r
+            r.event.set()
+
+    def _encode_worker(self):
         while True:
-            first = self._queue.get()
+            first = self._encode_q.get()
             batch = [first]
             n = len(first.texts)
             deadline = time.perf_counter() + self.coalesce_wait_ms / 1e3
@@ -102,7 +136,7 @@ class Retriever:
                 if left <= 0:
                     break
                 try:
-                    nxt = self._queue.get(timeout=left)
+                    nxt = self._encode_q.get(timeout=left)
                 except _queue.Empty:
                     break
                 batch.append(nxt)
@@ -110,35 +144,51 @@ class Retriever:
             texts = [t for r in batch for t in r.texts]
             k_s = max(r.k_searched for r in batch)
             try:
-                scores, rows = self._run_pipeline(texts, k_s)
+                payloads = [
+                    (
+                        self._encode_chunk(texts[lo : lo + self.max_batch]),
+                        min(self.max_batch, len(texts) - lo),
+                    )
+                    for lo in range(0, len(texts), self.max_batch)
+                ]
+            except Exception:  # noqa: BLE001
+                self._isolate(batch)
+                continue
+            # bounded: blocks (back-pressure) once the search worker is
+            # one group behind — encode never races further ahead
+            self._search_q.put((batch, payloads, k_s))
+
+    def _search_worker(self):
+        while True:
+            batch, payloads, k_s = self._search_q.get()
+            try:
+                all_s, all_r = [], []
+                for payload, n_real in payloads:
+                    s, r = self._search_payload(payload, k_s)
+                    all_s.append(s[:n_real])
+                    all_r.append(r[:n_real])
+                scores = np.concatenate(all_s)
+                rows = np.concatenate(all_r)
                 off = 0
                 for r in batch:
                     m = len(r.texts)
                     r.scores, r.rows = scores[off : off + m], rows[off : off + m]
                     off += m
-            except Exception as e:  # noqa: BLE001 — propagate to callers
+                    r.event.set()
+            except Exception as e:  # noqa: BLE001
                 if len(batch) == 1:
                     batch[0].error = e
+                    batch[0].event.set()
                 else:
-                    # isolate the poisoned request: a coalesced neighbor's
-                    # bad input must not fail unrelated callers — retry
-                    # each request alone (rare path, one pipeline run each)
-                    for r in batch:
-                        try:
-                            r.scores, r.rows = self._run_pipeline(
-                                r.texts, r.k_searched
-                            )
-                        except Exception as e_r:  # noqa: BLE001
-                            r.error = e_r
-            for r in batch:
-                r.event.set()
+                    self._isolate(batch)
 
-    def _ensure_worker(self):
-        if not self._worker_started:
+    def _ensure_workers(self):
+        if not self._workers_started:
             with self._worker_lock:
-                if not self._worker_started:
-                    threading.Thread(target=self._worker, daemon=True).start()
-                    self._worker_started = True
+                if not self._workers_started:
+                    for target in (self._encode_worker, self._search_worker):
+                        threading.Thread(target=target, daemon=True).start()
+                    self._workers_started = True
 
     def search(self, questions: List[str], k: Optional[int] = None) -> List[List[dict]]:
         from dpr_scale_tpu.retrieve.retrieval import rows_to_ctxs
@@ -146,16 +196,16 @@ class Retriever:
         if not questions:
             return []
         k = k or self.default_k
-        k = min(k, self.max_k, self.index.num_rows)
+        k = min(k, self.max_k, self.num_rows)
         # round the searched k up to a power of two so arbitrary client k
         # values reuse a handful of jitted top-k programs (a novel k would
-        # otherwise compile while holding the serving lock)
+        # otherwise compile on the serving workers)
         k_searched = min(
-            1 << max(0, k - 1).bit_length(), self.max_k, self.index.num_rows
+            1 << max(0, k - 1).bit_length(), self.max_k, self.num_rows
         )
-        self._ensure_worker()
+        self._ensure_workers()
         req = _Pending(list(questions), k_searched)
-        self._queue.put(req)
+        self._encode_q.put(req)
         req.event.wait()
         if req.error is not None:
             raise req.error
@@ -163,11 +213,124 @@ class Retriever:
         return rows_to_ctxs(self.passages, req.scores[:, :k], req.rows[:, :k])
 
 
+class Retriever(_CoalescingPipeline):
+    """Dense-tower serving: encode queries with the query tower and search
+    the exact/int8/approx MIPS index; thread-safe."""
+
+    def __init__(
+        self,
+        encoder,  # CorpusEncoder with use_query_tower=True
+        tokenizer,
+        index,  # MipsIndex
+        passages,  # CSVDataset
+        **kwargs,
+    ):
+        super().__init__(passages, **kwargs)
+        self.encoder = encoder
+        self.tokenizer = tokenizer
+        self.index = index
+
+    @property
+    def num_rows(self) -> int:
+        return self.index.num_rows
+
+    def _encode_chunk(self, texts: List[str]):
+        pad_b = self._pad_batch(len(texts))
+        padded = texts + [""] * (pad_b - len(texts))
+        ids, mask = self.tokenizer(padded)
+        # stays a DEVICE array: MipsIndex.search device_puts its queries,
+        # so fetching the embeddings to host here would be a wasted
+        # device->host->device round trip on the serving critical path
+        return self.encoder._encode(self.encoder.params, ids, mask)
+
+    def _search_payload(self, payload, k: int):
+        scores, rows = self.index.search(payload, k)
+        return np.asarray(scores), np.asarray(rows)
+
+
+class CitadelRetriever(_CoalescingPipeline):
+    """Multi-vector (CITADEL/COIL/ColBERT) serving behind the same
+    coalescing pipeline: queries are routed to experts and scored against
+    the inverted expert index (host- or device-resident).
+
+    Parity anchor: the reference scores CITADEL queries in a batch loop
+    with per-phase latency accounting (reference
+    dpr_scale/task/citadel_retrieval_task.py:111-139); serving itself is
+    beyond-reference.
+    """
+
+    def __init__(
+        self,
+        model,  # MultiVecEncoder (query side)
+        params,
+        tokenizer,
+        index,  # InvertedExpertIndex or DeviceExpertIndex
+        passages,
+        topk_route: int = 1,
+        add_cls: bool = False,
+        **kwargs,
+    ):
+        super().__init__(passages, **kwargs)
+        import jax
+
+        self.tokenizer = tokenizer
+        self.index = index
+        self._encode_jit = jax.jit(
+            lambda ids, mask: model.apply(
+                {"params": params},
+                ids,
+                mask,
+                topk=topk_route,
+                add_cls=add_cls,
+                routing_stats=False,  # training-only (B, vocab) planes
+            )
+        )
+
+    @property
+    def num_rows(self) -> int:
+        return self.index.num_docs
+
+    def _encode_chunk(self, texts: List[str]):
+        import jax.numpy as jnp
+
+        pad_b = self._pad_batch(len(texts))
+        padded = texts + [""] * (pad_b - len(texts))
+        ids, mask = self.tokenizer(padded)
+        out = self._encode_jit(jnp.asarray(ids), jnp.asarray(mask))
+        # the expert index routes on HOST numpy (bucket/slot table lookups),
+        # so the fetch is mandatory here — doing it on the encode worker is
+        # exactly what overlaps it with the search of the previous group.
+        # Pad rows are trimmed before search so they don't cost index work.
+        n = len(texts)
+        return {
+            key: (np.asarray(v)[:n] if np.ndim(v) > 0 else np.asarray(v))
+            for key, v in out.items()
+        }
+
+    def _search_payload(self, payload, k: int):
+        scores, rows = self.index.search(payload, topk=k)
+        return np.asarray(scores), np.asarray(rows)
+
+
 MAX_QUESTIONS_PER_REQUEST = 1024
 MAX_BODY_BYTES = 16 * 1024 * 1024
 
 
-def make_server(retriever: Retriever, host: str = "0.0.0.0", port: int = 8080):
+def make_server(
+    retriever: Optional[_CoalescingPipeline],
+    host: str = "0.0.0.0",
+    port: int = 8080,
+    citadel_retriever: Optional[CitadelRetriever] = None,
+):
+    routes = {}
+    if retriever is not None:
+        routes["/search"] = retriever
+    if citadel_retriever is not None:
+        routes["/search_citadel"] = citadel_retriever
+    if not routes:
+        raise ValueError("at least one retriever required")
+    primary = retriever if retriever is not None else citadel_retriever
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -184,13 +347,18 @@ def make_server(retriever: Retriever, host: str = "0.0.0.0", port: int = 8080):
             if self.path == "/healthz":
                 self._reply(
                     200,
-                    {"status": "ok", "corpus_rows": retriever.index.num_rows},
+                    {
+                        "status": "ok",
+                        "corpus_rows": primary.num_rows,
+                        "towers": sorted(routes),
+                    },
                 )
             else:
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/search":
+            target = routes.get(self.path)
+            if target is None:
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
@@ -216,12 +384,12 @@ def make_server(retriever: Retriever, host: str = "0.0.0.0", port: int = 8080):
                 if k is not None and (not isinstance(k, int) or k <= 0):
                     self._reply(400, {"error": "k must be a positive integer"})
                     return
-                if k is not None and k > retriever.max_k:
+                if k is not None and k > target.max_k:
                     self._reply(
-                        400, {"error": f"k must be at most {retriever.max_k}"}
+                        400, {"error": f"k must be at most {target.max_k}"}
                     )
                     return
-                results = retriever.search([str(q) for q in questions], k)
+                results = target.search([str(q) for q in questions], k)
                 self._reply(200, {"results": results})
             except json.JSONDecodeError:
                 self._reply(400, {"error": "invalid JSON body"})

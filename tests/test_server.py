@@ -80,7 +80,7 @@ def test_healthz(server_setup):
     url, _ = server_setup
     with urllib.request.urlopen(url + "/healthz") as resp:
         body = json.loads(resp.read())
-    assert body == {"status": "ok", "corpus_rows": 20}
+    assert body == {"status": "ok", "corpus_rows": 20, "towers": ["/search"]}
 
 
 def test_search_roundtrip(server_setup):
@@ -252,3 +252,161 @@ def test_search_roundtrip_int8(server_setup, tmp_path):
     top1 = int(results[0][0]["id"][1:])
     best = int(np.argmax(exact))
     assert exact[top1] >= exact[best] - bound(top1) - bound(best) - 1e-5
+
+
+# --------------------------------------------------------------------- #
+# multi-vector (CITADEL) tower
+
+
+@pytest.fixture(scope="module")
+def citadel_server_setup(tmp_path_factory):
+    """A CITADEL tower served over HTTP: tiny multivec model, passages
+    encoded + indexed into the inverted expert index, same coalescing
+    pipeline as the dense tower."""
+    from dpr_scale_tpu.index.inverted import InvertedExpertIndex
+    from dpr_scale_tpu.models.multivec import MultiVecEncoder
+    from dpr_scale_tpu.retrieve.server import CitadelRetriever
+
+    d = tmp_path_factory.mktemp("serve_mv")
+    passages_path = d / "passages.tsv"
+    with open(passages_path, "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for i in range(20):
+            f.write(f"d{i}\tpassage text {i}\ttitle {i}\n")
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "passage", "text",
+             "title", "query"] + [str(i) for i in range(20)]
+    (d / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    from transformers import BertTokenizerFast
+
+    BertTokenizerFast(vocab_file=str(d / "vocab.txt")).save_pretrained(str(d))
+    tok = HFTokenizer(str(d), max_seq_len=12)
+
+    cfg = dataclasses.replace(
+        TransformerConfig.tiny(vocab_size=len(vocab)), dtype=jnp.float32
+    )
+    model = MultiVecEncoder(cfg, variant="citadel", tok_projection_dim=8)
+    ids = jnp.ones((2, 12), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids, ids, topk=2)
+    params = variables["params"]
+
+    passages = CSVDataset(str(passages_path), cache_index=False)
+    texts = [passages[i]["text"] for i in range(20)]
+    cids, cmask = tok(texts)
+    doc_out = model.apply(
+        {"params": params}, jnp.asarray(cids), jnp.asarray(cmask), topk=2
+    )
+    index = InvertedExpertIndex(dim=8, num_docs=20)
+    index.add_batch(range(20), {k: np.asarray(v) for k, v in doc_out.items()})
+    index.finalize()
+
+    retriever = CitadelRetriever(
+        model, params, tok, index, passages, topk_route=2, default_k=3
+    )
+    server = make_server(None, "127.0.0.1", 0, citadel_retriever=retriever)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", passages, retriever
+    server.shutdown()
+
+
+def _post_path(url, path, payload):
+    req = urllib.request.Request(
+        url + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_citadel_healthz_and_routes(citadel_server_setup):
+    url, _, _ = citadel_server_setup
+    with urllib.request.urlopen(url + "/healthz") as resp:
+        body = json.loads(resp.read())
+    assert body["corpus_rows"] == 20
+    assert body["towers"] == ["/search_citadel"]
+    # the dense route is not configured on this server
+    assert _post_path(url, "/search", {"questions": ["x"]})[0] == 404
+
+
+def test_citadel_search_roundtrip(citadel_server_setup):
+    """HTTP multivec search returns ranked ctxs that match the index
+    searched directly with the same encoder output."""
+    url, passages, retriever = citadel_server_setup
+    status, body = _post_path(
+        url, "/search_citadel", {"questions": ["passage text 3"], "k": 4}
+    )
+    assert status == 200
+    results = body["results"]
+    assert len(results) == 1 and 0 < len(results[0]) <= 4
+    assert {"id", "title", "text", "score"} == set(results[0][0])
+    scores = [c["score"] for c in results[0]]
+    assert scores == sorted(scores, reverse=True)
+    # cross-check against a direct (non-HTTP, non-coalesced) search
+    direct = retriever.search(["passage text 3"], k=4)
+    assert [c["id"] for c in results[0]] == [c["id"] for c in direct[0]]
+    assert np.allclose(
+        [c["score"] for c in results[0]], [c["score"] for c in direct[0]], atol=1e-5
+    )
+
+
+def test_citadel_concurrent_coalesced_load(citadel_server_setup):
+    """16 concurrent HTTP callers through the two-stage pipeline: every
+    response is correct for ITS question (no cross-request mixing when
+    groups are coalesced, chunked, and pipelined)."""
+    url, _, retriever = citadel_server_setup
+    expected = {
+        q: [c["id"] for c in retriever.search([q], k=3)[0]]
+        for q in (f"passage text {i}" for i in range(8))
+    }
+    results, errors = {}, []
+
+    def call(i):
+        q = f"passage text {i % 8}"
+        try:
+            status, body = _post_path(
+                url, "/search_citadel", {"questions": [q], "k": 3}
+            )
+            assert status == 200, body
+            results[i] = (q, [c["id"] for c in body["results"][0]])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 16
+    for q, ids in results.values():
+        assert ids == expected[q], (q, ids, expected[q])
+
+
+def test_dense_pipeline_concurrent_load(server_setup):
+    """Same concurrency drill for the dense tower (exercises the
+    device-array payload hand-off between encode and search workers)."""
+    url, _ = server_setup
+    results, errors = {}, []
+
+    def call(i):
+        q = f"passage text {i % 8}"
+        try:
+            status, body = _post(url, {"questions": [q], "k": 3})
+            assert status == 200, body
+            results[i] = (q, body["results"][0][0]["id"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors and len(results) == 16
+    for q, top1 in results.values():
+        assert top1 == "d" + q.rsplit(" ", 1)[1]

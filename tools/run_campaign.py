@@ -113,7 +113,13 @@ task:
     arch: {arch}
     vocab_size: 30522
     fused_attention: true
-    fused_ffn: true
+    # fused_ffn defaults OFF here: its custom VJP saves the (B*T, F)
+    # intermediate for backward, and at bert_base B=128/chip c=256 that
+    # exceeds the 16 GB HBM (measured 16.43G required; the same shape
+    # with fused attention only fits and is the round-3 measured e2e
+    # config at 289.6 q/s). The monolithic-OOM config is exactly the
+    # GradCache demonstration case (tools/bench_gradcache_ceiling.py).
+    fused_ffn: {fused_ffn}
   transform:
     model_path: {tok_dir}
     max_seq_len: {clen}
@@ -330,6 +336,12 @@ def main():
     ap.add_argument("--kill-at-step", type=int, default=1400)
     ap.add_argument("--budget-s", type=float, default=7200.0)
     ap.add_argument(
+        "--fused-ffn",
+        action="store_true",
+        help="enable the fused FFN kernel (needs HBM headroom: its VJP "
+        "saves the FFN intermediate; OOMs at bert_base B=128 c=256)",
+    )
+    ap.add_argument(
         "--no-learning-check",
         action="store_true",
         help="skip the loss/mrr-trend assertion (tiny-model CPU smokes)",
@@ -368,6 +380,7 @@ def main():
                 metrics=metrics_path,
                 ckpt=ckpt_dir,
                 top_k=args.top_k,
+                fused_ffn="true" if args.fused_ffn else "false",
             )
         )
 
