@@ -772,13 +772,25 @@ class DeviceExpertIndex:
         kt = min(k, nt)
         tile = TILE
 
-        def local(bucket_args, cls_l, q_cls):
+        def local(bucket_tensors, packed_i, packed_q, cls_l, q_cls):
+            # per-search host arrays arrive PACKED into two sharded uploads
+            # (same layout as the single-device program: per device, each
+            # bucket contributes slots ++ qrows in packed_i and its padded
+            # query vectors in packed_q) — 2 device_puts per search instead
+            # of 3 per bucket (~18-40 ms per-call channel floor each over a
+            # tunneled deployment; see _search_program)
             parts = []
-            for (_bsize, _n_pad, mrl), args in zip(spec, bucket_args):
-                vecs_l, rid_l, rdoc_l, spos_l, slots_l, qvecs_l, qrows_l = args
+            oi = oq = 0
+            for (_bsize, n_pad, mrl), tensors in zip(spec, bucket_tensors):
+                vecs_l, rid_l, rdoc_l, spos_l = tensors
+                slots_l = packed_i[0, oi : oi + n_pad]
+                qrows_l = packed_i[0, oi + n_pad : oi + 2 * n_pad]
+                oi += 2 * n_pad
+                qvecs_l = packed_q[0, oq : oq + n_pad]
+                oq += n_pad
                 r, d, v = self._score_bucket(
                     vecs_l, rid_l, rdoc_l, spos_l,
-                    slots_l[0], qvecs_l[0], qrows_l[0], mrl,
+                    slots_l, qvecs_l, qrows_l, mrl,
                 )
                 parts.append((r, d, v))
             if parts:
@@ -836,7 +848,7 @@ class DeviceExpertIndex:
             return s, doc
 
         bucket_specs = tuple(
-            (P("data"),) * 7
+            (P("data"),) * 4
             for _ in spec
         )
 
@@ -844,7 +856,13 @@ class DeviceExpertIndex:
             shard_map(
                 local,
                 mesh=self.mesh,
-                in_specs=(bucket_specs, P("data"), P(None, None)),
+                in_specs=(
+                    bucket_specs,
+                    P("data", None),
+                    P("data", None, None),
+                    P("data"),
+                    P(None, None),
+                ),
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False,
             )
@@ -901,6 +919,8 @@ class DeviceExpertIndex:
         bucket_args = []
         if self.ndev > 1:
             # expert-parallel: entries co-locate with their expert's device
+            ints_ep: List[np.ndarray] = []  # per bucket (ndev, 2*n_pad)
+            qs_ep: List[np.ndarray] = []  # per bucket (ndev, n_pad, D)
             for bsize, (rows_b, slots_b, vecs_b) in sorted(per_bucket.items()):
                 bucket = self.buckets[bsize]
                 epd = bucket["vecs"].shape[0] // self.ndev
@@ -923,31 +943,51 @@ class DeviceExpertIndex:
                 slots[dev_s, posin] = (slots_b % epd)[srt]
                 qvecs[dev_s, posin] = vecs_b[srt]
                 spec.append((bsize, n_pad, bucket["max_run_len"]))
-                shard = self._expert_sharding()
+                ints_ep.append(np.concatenate([slots, qrows], axis=1))
+                qs_ep.append(qvecs)
                 bucket_args.append(
                     (
                         bucket["vecs"],
                         bucket["run_id"],
                         bucket["run_doc"],
                         bucket["start_pos"],
-                        jax.device_put(jnp.asarray(slots), shard),
-                        jax.device_put(jnp.asarray(qvecs), shard),
-                        jax.device_put(jnp.asarray(qrows), shard),
                     )
                 )
+            # the per-search host arrays ride in TWO sharded uploads (the
+            # single-device packing, laid out per device) instead of 3
+            # device_puts per bucket — see _search_program's measured
+            # per-call channel floor
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            shard2 = NamedSharding(self.mesh, _P("data", None))
+            shard3 = NamedSharding(self.mesh, _P("data", None, None))
+            packed_i = jax.device_put(
+                jnp.asarray(
+                    np.concatenate(ints_ep, axis=1)
+                    if ints_ep
+                    else np.zeros((self.ndev, 0), np.int32)
+                ),
+                shard2,
+            )
+            packed_q = jax.device_put(
+                jnp.asarray(
+                    np.concatenate(qs_ep, axis=1)
+                    if qs_ep
+                    else np.zeros((self.ndev, 0, D), np.float32)
+                ),
+                shard3,
+            )
             run = self._search_program_sharded(B, tuple(spec), k, has_cls)
             if has_cls:
                 q_cls = jnp.asarray(np.asarray(query_out["cls_repr"], np.float32))
                 cls_arg = self.cls
             else:
                 q_cls = jnp.zeros((B, 1), jnp.float32)
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
                 cls_arg = jax.device_put(
                     jnp.zeros((self.ndev, 1), self.dtype),
-                    NamedSharding(self.mesh, P("data")),
+                    NamedSharding(self.mesh, _P("data")),
                 )
-            s, idx = run(tuple(bucket_args), cls_arg, q_cls)
+            s, idx = run(tuple(bucket_args), packed_i, packed_q, cls_arg, q_cls)
         else:
             use_stream = STREAM_MODE == "on" or (
                 STREAM_MODE == "auto"
