@@ -276,6 +276,63 @@ def check_mips(rows):
     return detail
 
 
+@check("int8_store_cold_start")
+def check_int8_store():
+    """Prequantized int8 store round-trip on the REAL chip: fp32 shards ->
+    build_int8_store -> cold mmap load into a fresh device-tier index ->
+    search must match an index quantized directly from the same fp32 (the
+    store persists exactly what MipsIndex.add computes). Covers the
+    index/store.py serving cold-start path end-to-end, incl. the fused
+    multi-block dispatch over store-loaded blocks (2 blocks here)."""
+    import shutil
+    import tempfile
+
+    from dpr_scale_tpu.encode.embeddings import save_embedding_shard
+    from dpr_scale_tpu.index import MipsIndex
+    from dpr_scale_tpu.index.store import build_int8_store, load_int8_store
+    from dpr_scale_tpu.parallel import get_mesh
+    from dpr_scale_tpu.utils.transfer import warm_device_to_host
+
+    warm_device_to_host()  # the shard write needs a device->host fetch
+    mesh = get_mesh()
+    rows = 131_072
+    emb = np.concatenate(
+        [np.asarray(c, np.float32) for c in _make_corpus(mesh, rows)]
+    )
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((64, 768), dtype=np.float32)
+
+    tmp = tempfile.mkdtemp(prefix="int8store_")
+    try:
+        save_embedding_shard(os.path.join(tmp, "reps_0000"), emb[: rows // 2])
+        save_embedding_shard(os.path.join(tmp, "reps_0001"), emb[rows // 2 :])
+        store_dir = os.path.join(tmp, "store")
+        manifest = build_int8_store(tmp, store_dir, max_block_rows=rows // 2)
+
+        cold = MipsIndex(mesh, method="int8")
+        t0 = time.perf_counter()
+        load_int8_store(cold, store_dir)
+        cold_load_s = time.perf_counter() - t0
+        s_cold, i_cold = cold.search(q, k=100)
+
+        direct = MipsIndex(mesh, method="int8")
+        direct.add(emb[: rows // 2])
+        direct.add(emb[rows // 2 :])
+        s_dir, i_dir = direct.search(q, k=100)
+
+        assert np.array_equal(np.asarray(i_cold), np.asarray(i_dir)), (
+            "store-loaded int8 search differs from directly-quantized"
+        )
+        assert np.allclose(np.asarray(s_cold), np.asarray(s_dir), atol=1e-4)
+        return {
+            "rows": rows,
+            "blocks": len(manifest["blocks"]),
+            "cold_load_s": round(cold_load_s, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @check("citadel_device_index")
 def check_citadel():
     """Host vs device expert-index search on the REAL chip — covers the
@@ -397,7 +454,7 @@ def main():
     p.add_argument("--rows", type=int, default=1_048_576)
     p.add_argument(
         "--only", default=None,
-        help="comma list: attention,ffn,mips,citadel,train (default: all)",
+        help="comma list: attention,ffn,mips,store,citadel,train (default: all)",
     )
     args = p.parse_args()
 
@@ -407,7 +464,7 @@ def main():
     except Exception:
         pass
 
-    KNOWN = {"attention", "ffn", "mips", "citadel", "train"}
+    KNOWN = {"attention", "ffn", "mips", "store", "citadel", "train"}
     only = set(args.only.split(",")) if args.only else None
     if only is not None and (only - KNOWN or not only & KNOWN):
         # a typo'd --only would run ZERO checks and exit {"ok": true} —
@@ -423,6 +480,8 @@ def main():
         check_ffn()
     if want("mips"):
         check_mips(args.rows)
+    if want("store"):
+        check_int8_store()
     if want("citadel"):
         check_citadel()
     if want("train"):
