@@ -136,7 +136,7 @@ print("saved", flush=True)
 '''
 
 
-def measure(tag, corpus, queries, results):
+def measure(tag, corpus, queries, results, target=None):
     import jax
     import jax.numpy as jnp
 
@@ -150,7 +150,21 @@ def measure(tag, corpus, queries, results):
         ix.add(corpus)
         return ix
 
+    def mrr10(i_m):
+        """End-to-end retrieval quality (reference msmarco protocol,
+        MRR@10): reciprocal rank of the gold doc in the top 10."""
+        if target is None:
+            return None
+        rr = 0.0
+        for t, row in zip(target, np.asarray(i_m)[:, :10]):
+            pos = np.nonzero(row == t)[0]
+            if len(pos):
+                rr += 1.0 / (int(pos[0]) + 1)
+        return round(rr / len(target), 4)
+
     s_e, i_e = build("exact_sort").search(queries, k=101)
+    if target is not None:
+        results[f"{tag}_exact_mrr@10"] = mrr10(i_e)
     # top-100 margin profile: (s_100 - s_101) / (s_1 - s_101)
     margin = (s_e[:, 99] - s_e[:, 100]) / np.maximum(
         s_e[:, 0] - s_e[:, 100], 1e-9
@@ -174,11 +188,15 @@ def measure(tag, corpus, queries, results):
         ix = build(method)
         _s, i_m = ix.search(queries, k=100)
         results[f"{tag}_{method}_recall@100"] = recall(i_m)
+        if target is not None:
+            results[f"{tag}_{method}_mrr@10"] = mrr10(i_m)
         if method == "int8":
             # int16-precision queries (two int8 planes, same corpus bytes)
             ix.int8_query_planes = 2
             _s, i_m2 = ix.search(queries, k=100)
             results[f"{tag}_int8p2_recall@100"] = recall(i_m2)
+            if target is not None:
+                results[f"{tag}_int8p2_mrr@10"] = mrr10(i_m2)
 
 
 def main():
@@ -225,12 +243,19 @@ def main():
     target = np.load(os.path.join(WORKDIR, "target.npy"))
 
     results = {}
-    measure("trained", corpus, queries, results)
+    measure("trained", corpus, queries, results, target=target)
     # sanity: the trained encoder must actually retrieve its targets —
     # collapsed embeddings would make every lossy mode agree with exact
     # (recall ~1.0) while carrying no signal, silently voiding the
     # "trained geometry" claim this tool exists to measure
-    exact = np.argsort(-(queries.astype(np.float32) @ corpus.T), axis=1)[:, :100]
+    # (chunked: the full (Q, rows) score matrix is ~4 GB at 1M rows)
+    qf = queries.astype(np.float32)
+    exact = np.concatenate(
+        [
+            np.argsort(-(qf[lo : lo + 128] @ corpus.T), axis=1)[:, :100]
+            for lo in range(0, len(qf), 128)
+        ]
+    )
     hit = np.mean([t in row for t, row in zip(target, exact)])
     results["trained_target_recall@100"] = round(float(hit), 4)
     assert hit > 0.5, (
