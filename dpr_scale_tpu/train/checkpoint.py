@@ -44,28 +44,32 @@ class CheckpointManager:
 
     def save(self, step: int, state, metrics: Optional[Dict[str, float]] = None):
         metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        # Fetch device->host ONCE (the expensive direction — ~40 MB/s over
+        # this environment's warmed TPU tunnel, a PCIe fetch elsewhere);
+        # both the step save and the "last" save then serialize the same
+        # host arrays without touching the device again.
+        host_state = jax.device_get(state)
         self._mgr.save(
             step,
-            args=ocp.args.StandardSave(state),
+            args=ocp.args.StandardSave(host_state),
             metrics=metrics,
         )
         self._mgr.wait_until_finished()
         if self.save_last:
-            # "last" is a HOST-SIDE copy of the step just written, not a
-            # second device->host serialization: the state was already
-            # fetched once by _mgr.save, and re-fetching doubles the
-            # checkpoint cost (device->host is the expensive direction —
-            # ~40 MB/s over this environment's warmed TPU tunnel, and a
-            # PCIe fetch + re-serialize elsewhere). Must be a real copy
-            # (not a symlink): top-k rotation deletes evicted step dirs.
-            src = os.path.join(self.directory, str(step), "default")
-            self._copy_last(src)
+            # "last" is written directly from the host copy, NOT copied
+            # from the step dir: when the step's metric does not make the
+            # top-k, orbax's retention GC deletes the step dir inside
+            # _mgr.save itself — copying after the fact races with that
+            # eviction (observed as FileNotFoundError on ckpt/<step>/default
+            # in the campaign drill). A direct serialize costs the same
+            # disk write as the copy and has no dependency on rotation.
+            self._write_last(host_state)
 
-    def _copy_last(self, src: str) -> None:
-        """Atomically replace last/state with a copy of ``src``.
+    def _write_last(self, host_state) -> None:
+        """Atomically replace last/state with a fresh serialization.
 
-        Crash-safe against SIGKILL mid-copy (the supervise/requeue drill
-        kills the training process at arbitrary points): the copy lands in
+        Crash-safe against SIGKILL mid-write (the supervise/requeue drill
+        kills the training process at arbitrary points): the save lands in
         a temp dir first, and the old tree survives as state.old until the
         new one is in place; restore_last falls back to state.old.
         """
@@ -75,7 +79,10 @@ class CheckpointManager:
         tmp = dst + ".tmp"
         old = dst + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.copytree(src, tmp)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(tmp, host_state, force=True)
+        ckptr.wait_until_finished()
+        ckptr.close()
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(dst):
             os.rename(dst, old)

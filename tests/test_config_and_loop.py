@@ -147,6 +147,30 @@ def test_checkpoint_manager_best_and_last(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_last_survives_topk_eviction(tmp_path):
+    """A save whose metric does NOT make the top-k is GC'd by orbax inside
+    _mgr.save itself; "last" must still capture it (regression: the old
+    copy-from-step-dir implementation raised FileNotFoundError in the
+    campaign drill when step N's mrr ranked below the retained top-k)."""
+    import jax.numpy as jnp
+
+    from dpr_scale_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor="mrr", save_top_k=1)
+    for step, mrr in [(1, 0.9), (2, 0.5), (3, 0.1)]:
+        mgr.save(step, {"w": jnp.arange(4.0) + step, "step": jnp.asarray(step)}, {"mrr": mrr})
+    # steps 2 and 3 were evicted on arrival (top-1 is step 1) ...
+    assert mgr.best_step() == 1
+    import os
+
+    retained = sorted(d for d in os.listdir(tmp_path / "ckpt") if d.isdigit())
+    assert retained == ["1"]
+    # ... but "last" is step 3
+    restored = mgr.restore_last({"w": jnp.zeros(4), "step": jnp.asarray(0)})
+    assert int(restored["step"]) == 3
+    mgr.close()
+
+
 def test_checkpoint_last_survives_kill_mid_copy(tmp_path):
     """A SIGKILL between _copy_last's renames leaves state.old; restore_last
     must fall back to it (the supervise drill kills at arbitrary points)."""
