@@ -224,43 +224,37 @@ class Killer(threading.Thread):
 # analysis
 
 
-def analyze(metrics_path: str, kill_ts: float, log_every: int):
+def analyze(metrics_path: str, log_every: int):
+    """Check continuity across EVERY restart boundary in the appended log.
+
+    A campaign can be killed more than once (the drill's injected SIGKILL,
+    plus any real infrastructure death followed by a requeue); each restart
+    shows as the step counter going backwards. For every boundary, the
+    steps re-run after the restore must replay the pre-kill log exactly
+    (same restored state + same sampler stream => same losses, identical
+    lr) — any divergence is the resume-restarted-something bug class.
+    """
     train_recs, eval_recs = [], []
     with open(metrics_path) as f:
         for line in f:
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # partial trailing line from a mid-write kill
             if "train_loss" in rec:
                 train_recs.append(rec)
             elif "valid_mrr" in rec:
                 eval_recs.append(rec)
 
-    # restart boundary: step goes backwards in the appended log
-    boundary = None
-    for i in range(1, len(train_recs)):
-        if train_recs[i]["step"] <= train_recs[i - 1]["step"]:
-            boundary = i
-            break
-    assert boundary is not None, "no restart boundary found in the metrics log"
-    pre, post = train_recs[:boundary], train_recs[boundary:]
+    # split into runs at the boundaries (step goes backwards or repeats)
+    runs = [[train_recs[0]]]
+    for prev, rec in zip(train_recs, train_recs[1:]):
+        if rec["step"] <= prev["step"]:
+            runs.append([rec])
+        else:
+            runs[-1].append(rec)
+    assert len(runs) >= 2, "no restart boundary found in the metrics log"
 
-    pre_by_step = {r["step"]: r for r in pre}
-    overlap = [r for r in post if r["step"] in pre_by_step]
-    assert overlap, (
-        "no overlapping steps across the restart boundary — the restore "
-        "did not land before the kill point"
-    )
-    loss_rel_diffs, lr_diffs = [], []
-    for r in overlap:
-        p = pre_by_step[r["step"]]
-        loss_rel_diffs.append(
-            abs(r["train_loss"] - p["train_loss"]) / max(abs(p["train_loss"]), 1e-9)
-        )
-        lr_diffs.append(abs(r.get("lr", 0.0) - p.get("lr", 0.0)))
-
-    # monotone schedule across the whole campaign: collapse duplicate steps
-    # (post-restart wins = what the optimizer actually consumed last)
-    by_step = {r["step"]: r for r in train_recs}
-    steps_sorted = sorted(by_step)
     # q/s steady state: median, skipping the first few samples of each run
     # (they absorb compile time)
     def steady_qps(recs, skip=3):
@@ -268,25 +262,67 @@ def analyze(metrics_path: str, kill_ts: float, log_every: int):
         vals.sort()
         return vals[len(vals) // 2] if vals else None
 
-    restore_gap_s = post[0]["ts"] - kill_ts
+    seen = {r["step"]: r for r in runs[0]}
+    boundaries = []
+    for prev_run, run in zip(runs, runs[1:]):
+        overlap = [r for r in run if r["step"] in seen]
+        assert overlap, (
+            f"no overlapping steps across the restart at step "
+            f"{run[0]['step']} — the restore did not land before the kill "
+            f"point"
+        )
+        loss_rel_diffs, lr_diffs = [], []
+        for r in overlap:
+            p = seen[r["step"]]
+            loss_rel_diffs.append(
+                abs(r["train_loss"] - p["train_loss"])
+                / max(abs(p["train_loss"]), 1e-9)
+            )
+            lr_diffs.append(abs(r.get("lr", 0.0) - p.get("lr", 0.0)))
+        boundaries.append(
+            {
+                "last_step_before_kill": prev_run[-1]["step"],
+                "first_step_after_restore": run[0]["step"],
+                "n_overlap_steps": len(overlap),
+                "loss_rel_diff_max_on_overlap": max(loss_rel_diffs),
+                "lr_abs_diff_max_on_overlap": max(lr_diffs),
+                # upper bound on the restore gap: last pre-kill log line ->
+                # first post-restore log line (includes the killed step's
+                # remainder, supervisor backoff, process start + compile,
+                # and log_every re-warmup steps)
+                "restore_gap_s": run[0]["ts"] - prev_run[-1]["ts"],
+            }
+        )
+        for r in run:
+            seen[r["step"]] = r
+
+    # monotone schedule across the whole campaign: collapse duplicate steps
+    # (post-restart wins = what the optimizer actually consumed last)
+    by_step = {r["step"]: r for r in train_recs}
+    steps_sorted = sorted(by_step)
     return {
-        "boundary_index": boundary,
-        "last_step_before_kill": pre[-1]["step"],
-        "first_step_after_restore": post[0]["step"],
+        "n_restarts": len(runs) - 1,
+        "boundaries": boundaries,
+        # back-compat aliases for the single-kill drill fields
+        "last_step_before_kill": boundaries[0]["last_step_before_kill"],
+        "first_step_after_restore": boundaries[0]["first_step_after_restore"],
+        "loss_rel_diff_max_on_overlap": max(
+            b["loss_rel_diff_max_on_overlap"] for b in boundaries
+        ),
+        "lr_abs_diff_max_on_overlap": max(
+            b["lr_abs_diff_max_on_overlap"] for b in boundaries
+        ),
+        "restore_gap_s": boundaries[0]["restore_gap_s"],
         # train_loss records land only on log_every multiples; the final
         # epoch-end validation is the record that pins the true last step
         "final_step": max(
             steps_sorted[-1], max((r["step"] for r in eval_recs), default=-1)
         ),
         "n_train_log_records": len(train_recs),
-        "overlap_steps": [r["step"] for r in overlap],
-        "loss_rel_diff_max_on_overlap": max(loss_rel_diffs),
-        "lr_abs_diff_max_on_overlap": max(lr_diffs),
-        "restore_gap_s": restore_gap_s,
-        "steady_qps_pre_kill": steady_qps(pre),
-        "steady_qps_post_restore": steady_qps(post),
+        "steady_qps_per_run": [steady_qps(r) for r in runs],
+        "steady_qps_pre_kill": steady_qps(runs[0]),
+        "steady_qps_post_restore": steady_qps(runs[-1]),
         "loss_first": train_recs[0]["train_loss"],
-        "loss_around_kill": pre[-1]["train_loss"],
         "loss_final": by_step[steps_sorted[-1]]["train_loss"],
         "evals": [
             {"step": r["step"], "mrr": r["valid_mrr"], "loss": r["valid_loss"]}
@@ -351,11 +387,34 @@ def main():
         default=None,
         help="DPR_FORCE_PLATFORM for the train subprocesses (cpu smoke runs)",
     )
+    ap.add_argument(
+        "--analyze-only",
+        action="store_true",
+        help="skip fixture/launch; analyze the workdir's existing "
+        "metrics.jsonl + ckpt dir (use after driving the campaign "
+        "manually, e.g. a real infra kill followed by a requeue)",
+    )
+    ap.add_argument(
+        "--notes",
+        default=None,
+        help="free-text provenance recorded in the artifact",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     metrics_path = os.path.join(args.workdir, "metrics.jsonl")
     ckpt_dir = os.path.join(args.workdir, "ckpt")
+
+    steps_per_epoch = args.rows // args.batch
+    total_steps = steps_per_epoch * args.epochs
+
+    if args.analyze_only:
+        report = analyze(metrics_path, args.log_every)
+        retained = check_rotation(ckpt_dir, report["evals"], args.top_k)
+        finish_and_write(args, report, retained, total_steps,
+                         steps_per_epoch, wall_s=None, killed_at=None)
+        return
+
     for stale in (metrics_path,):
         if os.path.exists(stale):
             os.remove(stale)
@@ -384,8 +443,6 @@ def main():
             )
         )
 
-    steps_per_epoch = args.rows // args.batch
-    total_steps = steps_per_epoch * args.epochs
     assert args.kill_at_step < total_steps - args.eval_every, (
         "kill point too late: nothing left to re-run after the restore"
     )
@@ -424,9 +481,18 @@ def main():
     assert killer.error is None, f"killer error: {killer.error}"
     assert killer.kill_ts is not None, "kill never fired"
 
-    report = analyze(metrics_path, killer.kill_ts, args.log_every)
+    report = analyze(metrics_path, args.log_every)
     retained = check_rotation(ckpt_dir, report["evals"], args.top_k)
+    assert report["first_step_after_restore"] <= killer.killed_at_step, (
+        "restore jumped past the kill point"
+    )
+    finish_and_write(args, report, retained, total_steps, steps_per_epoch,
+                     wall_s=wall_s, killed_at=killer.killed_at_step)
 
+
+def finish_and_write(args, report, retained, total_steps, steps_per_epoch,
+                     wall_s, killed_at):
+    ckpt_dir = os.path.join(args.workdir, "ckpt")
     # the assertions with teeth
     assert report["loss_rel_diff_max_on_overlap"] < 5e-3, (
         f"loss curve discontinuous across restore: "
@@ -438,9 +504,6 @@ def main():
     )
     assert report["final_step"] == total_steps, (
         f"campaign ended at step {report['final_step']}, expected {total_steps}"
-    )
-    assert report["first_step_after_restore"] <= killer.killed_at_step, (
-        "restore jumped past the kill point"
     )
     if not args.no_learning_check:
         mrrs = [e["mrr"] for e in report["evals"]]
@@ -466,9 +529,10 @@ def main():
             "save_top_k": args.top_k,
             "kill_at_step_threshold": args.kill_at_step,
         },
-        "killed_at_logged_step": killer.killed_at_step,
-        "wall_s": round(wall_s, 1),
+        "killed_at_logged_step": killed_at,
+        "wall_s": None if wall_s is None else round(wall_s, 1),
         "retained_checkpoints": retained,
+        "notes": args.notes,
         "ok": True,
         **report,
     }
