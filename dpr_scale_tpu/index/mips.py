@@ -183,6 +183,11 @@ class MipsIndex:
         self._colscales: List[Optional[jax.Array]] = []
         self._total_rows = 0
         self._dim: Optional[int] = None
+        # per-search repair observability (exact modes): how often the
+        # device verification flagged a (query, block) pair and routed it
+        # through the host exact fallback. Reset by :meth:`search`; the
+        # serving modes (int8/approx) have no verification and leave zeros.
+        self.last_repair = {"block_fail_events": 0, "queries_repaired": 0}
 
     # int8 candidate-pool depth (kc = int8_oversample * k per device)
     int8_oversample = 8
@@ -1199,6 +1204,10 @@ class MipsIndex:
             s, i, not_exact = fn(emb, queries, k, n)
             s, i = np.array(s), np.array(i)
             fail_idx = np.nonzero(np.asarray(not_exact))[0]
+            # per-block accounting: on the host-merge path a query failing
+            # in two blocks counts twice (these are repair EVENTS)
+            self.last_repair["block_fail_events"] += len(fail_idx)
+            self.last_repair["queries_repaired"] += len(fail_idx)
             if len(fail_idx):  # rescue budget overflow: host exact fallback
                 se, ie = self._exact_fallback(emb, valid, queries, k, fail_idx)
                 s[fail_idx], i[fail_idx] = se, ie
@@ -1222,6 +1231,8 @@ class MipsIndex:
         tau_hi = tau + COUNT_MARGIN_REL * np.abs(tau)
         found_gt = (s > tau_hi[:, None]).sum(axis=1)
         fail_idx = np.nonzero(cnt != found_gt)[0]
+        self.last_repair["block_fail_events"] += len(fail_idx)
+        self.last_repair["queries_repaired"] += len(fail_idx)
         if len(fail_idx):
             se, ie = self._exact_fallback(emb, valid, queries, k, fail_idx)
             s[fail_idx], i[fail_idx] = se, ie
@@ -1230,6 +1241,7 @@ class MipsIndex:
     def search(self, queries: np.ndarray, k: int = 100) -> Tuple[np.ndarray, np.ndarray]:
         """Global top-k over all added blocks. queries: (B, D) fp32."""
         assert self._blocks, "index is empty"
+        self.last_repair = {"block_fail_events": 0, "queries_repaired": 0}
         k_eff = min(k, self._total_rows)
         q = jax.device_put(
             jnp.asarray(queries, jnp.float32),
@@ -1271,7 +1283,10 @@ class MipsIndex:
             s, i, fail = self._exact_search_multi(blocks, q, k_eff, meta)
             s = np.array(s)  # writable copies: failing rows get patched
             i = np.array(i).astype(np.int64)
-            fail_q = np.nonzero(np.asarray(fail).any(axis=1))[0]
+            fail_np = np.asarray(fail)
+            fail_q = np.nonzero(fail_np.any(axis=1))[0]
+            self.last_repair["block_fail_events"] = int(fail_np.sum())
+            self.last_repair["queries_repaired"] = len(fail_q)
             if len(fail_q):
                 qs = np.asarray(queries, np.float32)[fail_q]
                 pad_b = max(64, 1 << (len(qs) - 1).bit_length())  # jit reuse
