@@ -196,10 +196,16 @@ class TransformerLayer(nn.Module):
         attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
         rate = 0.0 if deterministic else cfg.hidden_dropout
         on_cpu = jax.default_backend() == "cpu"
-        if cfg.fused_ffn and not (rate > 0.0 and on_cpu):
+        if cfg.fused_ffn and deterministic:
             from dpr_scale_tpu.ops.ffn import fused_ffn_ln
 
-            # param tree identical to the einsum path's modules
+            # INFERENCE forward only: the LN-fused kernel wins ~2% on the
+            # forward (61.10 vs 62.47 ms per 12-layer stack at B=256
+            # L=128) but its XLA backward re-derives the LN chain and
+            # loses ~2% fwd+bwd (169.44 vs 166.15 ms) — measured r04,
+            # tools/bench_step_parts.py full_layer vs full_layer_lnfused.
+            # Training takes the fused_ffn + XLA-glue branch below.
+            # Param tree identical to the einsum path's modules
             # (attention_ln/output_ln {scale,bias}, intermediate/
             # ffn_output {kernel,bias}) so checkpoints interop
             # regardless of the fused_ffn flag
@@ -211,21 +217,48 @@ class TransformerLayer(nn.Module):
             w2, b2 = _DenseParams(
                 (cfg.intermediate_size, cfg.hidden_size), name="ffn_output"
             )()
-            if rate > 0.0:
-                bits = jax.random.bits(self.make_rng("dropout"), (), "uint32")
-                seed = jax.lax.bitcast_convert_type(bits, jnp.int32)[None]
-            else:
-                seed = jnp.zeros((1,), jnp.int32)
+            seed = jnp.zeros((1,), jnp.int32)  # deterministic: rate == 0
             B, L, H = x.shape
-            # attention_ln + FFN + output_ln + both residual adds fused:
-            # the glue LNs measured 11% of layer time as separate XLA
-            # passes over HBM (docs/STATUS.md round 3)
             return fused_ffn_ln(
                 (x + attn).reshape(B * L, H).astype(cfg.dtype),
                 w1, b1, w2, b2, g1, be1, g2, be2, seed, rate,
                 cfg.layer_norm_eps,
                 on_cpu,  # interpret mode for simulated-mesh CPU tests
             ).reshape(B, L, H)
+        if cfg.fused_ffn and not (rate > 0.0 and on_cpu):
+            # TRAINING (or dropout-free non-deterministic) composition:
+            # Pallas fused_ffn (custom split backward, 187.9 TF/s fwd+bwd
+            # vs einsum FFN 108.9) with the LN/residual glue left to XLA —
+            # measured 2% faster under grad than fusing the glue into the
+            # kernel (see the branch above).
+            from dpr_scale_tpu.ops.ffn import fused_ffn
+
+            if rate > 0.0:
+                bits = jax.random.bits(self.make_rng("dropout"), (), "uint32")
+                seed = jax.lax.bitcast_convert_type(bits, jnp.int32)[None]
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            x = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                name="attention_ln",
+            )(x + attn)
+            B, L, H = x.shape
+            ffn = fused_ffn(
+                x.reshape(B * L, H).astype(cfg.dtype),
+                *_DenseParams(
+                    (cfg.hidden_size, cfg.intermediate_size),
+                    name="intermediate",
+                )(),
+                *_DenseParams(
+                    (cfg.intermediate_size, cfg.hidden_size),
+                    name="ffn_output",
+                )(),
+                seed, rate,
+                on_cpu,
+            ).reshape(B, L, H)
+            return nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="output_ln"
+            )(x + ffn)
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="attention_ln"
         )(x + attn)

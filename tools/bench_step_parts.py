@@ -200,6 +200,29 @@ def main():
             layer, x, (W1, Bi1, W2, Bi2, Wqkv, Wo, gains)
         )[0]
 
+    # the production composition since fused_ffn_ln shipped
+    # (models/transformer.py: cfg.fused_ffn selects it): attention block
+    # + ONE kernel for attention_ln + FFN + output_ln + both residual
+    # adds. Compare against full_layer (separate XLA glue) to measure
+    # whether the fusion actually absorbed the 18.6 ms LN/residual glue.
+    biases = jnp.zeros((NL, 2, H), jnp.float32)
+
+    def full_layer_lnfused(x, W1, Bi1, W2, Bi2, Wqkv, Wo, gains, biases):
+        from dpr_scale_tpu.ops.ffn import fused_ffn_ln
+
+        def layer(h, w):
+            w1, b1, w2, b2, wqkv, wo, g, be = w
+            a = _attn_block(h, wqkv, wo)
+            out = fused_ffn_ln(
+                (h + a).reshape(N, H).astype(jnp.bfloat16),
+                w1, b1, w2, b2, g[0], be[0], g[1], be[1], seed0, rate,
+            ).reshape(B, L, H)
+            return out, None
+
+        return jax.lax.scan(
+            layer, x, (W1, Bi1, W2, Bi2, Wqkv, Wo, gains, biases)
+        )[0]
+
     cases = [
         ("ffn_fused", ffn_fused, (x2, W1, Bi1, W2, Bi2), f_ffn),
         ("ffn_einsum", ffn_einsum, (x2, W1, Bi1, W2, Bi2), f_ffn),
@@ -211,6 +234,12 @@ def main():
             "full_layer",
             full_layer,
             (x3, W1, Bi1, W2, Bi2, Wqkv, Wo, gains),
+            f_ffn + f_qkv + f_attn,
+        ),
+        (
+            "full_layer_lnfused",
+            full_layer_lnfused,
+            (x3, W1, Bi1, W2, Bi2, Wqkv, Wo, gains, biases),
             f_ffn + f_qkv + f_attn,
         ),
     ]
