@@ -56,10 +56,22 @@ TILE = 2048  # accumulator column tile for the tiled exact top-k
 STREAM_M = 32
 STREAM_CHUNK = 2 * 1024 * 1024
 
-# scorer selection: "auto" = streamed kernel on TPU / einsum on CPU;
-# "on" forces the streamed kernel (interpret-mode Pallas on CPU — the
-# suite's coverage hook); "off" forces the per-entry DMA kernel on TPU
+# scorer selection: "auto" picks PER BUCKET per search by the byte model
+# below (einsum on CPU); "on" forces the streamed kernel everywhere
+# (interpret-mode Pallas on CPU — the suite's coverage hook); "off"
+# forces the per-entry DMA kernel on TPU
 STREAM_MODE = "auto"
+
+# Byte-model constant for "auto": the streamed scorer moves
+# distinct_blocks * (G, TL, D) sequential bytes at streaming-class
+# bandwidth, the per-entry DMA kernel moves n_pad * (L, D) bytes at
+# random-chunk bandwidth; stream wins when
+#   stream_bytes / BW_stream < gather_bytes / BW_dma.
+# BW_stream / BW_dma measured on v5e via tools/microbench_stream_scorer
+# (streamed 194-300 GB/s vs per-entry DMA 90-130): ~2.2x. Entries
+# concentrated on few experts (stopword-heavy routing) stream; entries
+# sparse over many experts (one touched 2 MB group per entry) gather.
+STREAM_BW_RATIO = 2.2
 
 
 def _stream_group_target(L: int, D: int, itemsize: int) -> int:
@@ -110,6 +122,25 @@ def _pad_2bit(n: int, minimum: int = 1, multiple: int = 1) -> int:
     g = 1 << e
     v = -(-n // g) * g
     return -(-v // multiple) * multiple
+
+
+def _stream_auto_wins(
+    steps_b, G: int, TL: int, bsize: int, D: int, itemsize: int, n: int
+) -> bool:
+    """Per-bucket byte model for STREAM_MODE="auto" (see STREAM_BW_RATIO).
+
+    The streamed scorer fetches each distinct consecutive posting-group
+    transition once per L-tile as a (G, TL, D) block; the per-entry DMA
+    kernel fetches the padded entry count x (bsize, D). Stream wins when
+    its (sequential) bytes are under STREAM_BW_RATIO x the DMA's (random
+    -chunk) bytes — entries concentrated on few experts stream, entries
+    sparse over many experts gather.
+    """
+    pg = steps_b[:, 0]
+    distinct = int(1 + (pg[1:] != pg[:-1]).sum()) * (bsize // TL)
+    stream_bytes = distinct * G * TL * D * itemsize
+    gather_bytes = _pad_2bit(n, minimum=8) * bsize * D * itemsize
+    return stream_bytes <= STREAM_BW_RATIO * gather_bytes
 
 
 def _stream_steps(slots_sorted, n_real: int, n_pad: int, G: int):
@@ -989,10 +1020,8 @@ class DeviceExpertIndex:
                 )
             s, idx = run(tuple(bucket_args), packed_i, packed_q, cls_arg, q_cls)
         else:
-            use_stream = STREAM_MODE == "on" or (
-                STREAM_MODE == "auto"
-                and jax.default_backend() != "cpu"
-                and D % 128 == 0
+            stream_capable = D % 128 == 0 and (
+                STREAM_MODE == "on" or jax.default_backend() != "cpu"
             )
             ints: List[np.ndarray] = []
             qs: List[np.ndarray] = []
@@ -1000,16 +1029,30 @@ class DeviceExpertIndex:
                 bucket = self.buckets[bsize]
                 n = len(rows_b)
                 n_exp = bucket["vecs"].shape[0]
+                itemsize = bucket["vecs"].dtype.itemsize
+                use_stream = stream_capable and STREAM_MODE != "off"
+                steps = None
                 if use_stream:
                     # streamed scorer: entries slot-sorted so touched
                     # posting groups are visited in address order; pad
                     # slot = n_exp (matches no group -> contributes 0)
+                    G, TL = _stream_cfg(n_exp, bsize, D, itemsize)
                     order = np.argsort(slots_b, kind="stable")
+                    n_pad_s = _pad_2bit(n, minimum=STREAM_M, multiple=STREAM_M)
+                    slots_s = np.full((n_pad_s,), n_exp, np.int32)
+                    slots_s[:n] = slots_b[order]
+                    steps_b = _stream_steps(slots_s, n, n_pad_s, G)
+                    if STREAM_MODE == "auto":
+                        use_stream = _stream_auto_wins(
+                            steps_b, G, TL, bsize, D, itemsize, n
+                        )
+                if use_stream:
                     rows_b, slots_b, vecs_b = (
                         rows_b[order], slots_b[order], vecs_b[order],
                     )
-                    n_pad = _pad_2bit(n, minimum=STREAM_M, multiple=STREAM_M)
+                    n_pad = n_pad_s
                     pad_slot = n_exp
+                    steps = steps_b
                 else:
                     n_pad = _pad_2bit(n, minimum=8)
                     pad_slot = 0
@@ -1032,11 +1075,7 @@ class DeviceExpertIndex:
                 )
                 ints += [slots, qrows]
                 qs.append(qvecs)
-                if use_stream:
-                    G, _TL = _stream_cfg(
-                        n_exp, bsize, D, bucket["vecs"].dtype.itemsize
-                    )
-                    steps = _stream_steps(slots, n, n_pad, G)
+                if steps is not None:
                     ints.append(steps.ravel())
                     spec.append(
                         (bsize, n_pad, bucket["max_run_len"], steps.shape[0])

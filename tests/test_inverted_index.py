@@ -174,6 +174,34 @@ def test_device_index_streamed_scorer_matches_host(monkeypatch):
         np.testing.assert_allclose(dense_d, dense_h, rtol=1e-4, atol=1e-4)
 
 
+def test_stream_auto_byte_model():
+    """STREAM_MODE="auto" picks the scorer PER BUCKET: entries
+    concentrated on few experts stream (distinct posting groups << the
+    per-entry gather bytes), entries sparse over many experts gather
+    (every entry touches its own ~STREAM_CHUNK posting group)."""
+    from dpr_scale_tpu.index.inverted_device import (
+        STREAM_M, _pad_2bit, _stream_auto_wins, _stream_cfg, _stream_steps,
+    )
+
+    bsize, D, itemsize, n_exp = 512, 128, 2, 8000
+    G, TL = _stream_cfg(n_exp, bsize, D, itemsize)
+    assert G > 1  # the model separates the paths via group sharing
+
+    def decide(slots):
+        n = len(slots)
+        n_pad = _pad_2bit(n, minimum=STREAM_M, multiple=STREAM_M)
+        padded = np.full((n_pad,), n_exp, np.int32)
+        padded[:n] = np.sort(slots)
+        steps = _stream_steps(padded, n, n_pad, G)
+        return _stream_auto_wins(steps, G, TL, bsize, D, itemsize, n)
+
+    # 256 entries all routed to one stopword expert: one fetched group
+    assert decide(np.zeros(256, np.int32))
+    # 256 entries spread G experts apart: each touches its own group,
+    # streaming would fetch G x the postings the gather path reads
+    assert not decide(np.arange(256, dtype=np.int32) * G)
+
+
 def test_index_pruning_and_quantization():
     model, params, doc_out = _encode("citadel", 6, 10, seed=6, topk=2)
     doc_out = {k: np.asarray(v) for k, v in doc_out.items()}
