@@ -68,10 +68,31 @@ STREAM_MODE = "auto"
 # random-chunk bandwidth; stream wins when
 #   stream_bytes / BW_stream < gather_bytes / BW_dma.
 # BW_stream / BW_dma measured on v5e via tools/microbench_stream_scorer
-# (streamed 194-300 GB/s vs per-entry DMA 90-130): ~2.2x. Entries
-# concentrated on few experts (stopword-heavy routing) stream; entries
-# sparse over many experts (one touched 2 MB group per entry) gather.
+# at the SMALL-bucket shape (L=512, G=16: streamed 288 GB/s vs per-entry
+# DMA 131): ~2.2x. Entries concentrated on few experts (stopword-heavy
+# routing) stream; entries sparse over many experts gather.
 STREAM_BW_RATIO = 2.2
+
+# The 2.2x bandwidth ratio exists ONLY where several experts pack into
+# each ~2 MB block (G >= 8) so one sequential fetch serves many entries.
+# Measured r04 at the big-bucket shapes (G<=4, the byte-dominant buckets
+# of the MS MARCO layout) the streamed kernel's isolated advantage is
+# ~1 ms per bucket at best -- L=2048/G=4: 5.36 vs 6.16 ms (and its
+# 640-step Mosaic compile took several hundred seconds); L=8192: 110.6
+# vs 96.1 GB/s; L=32768: 54.6 vs 60.7 (LOSES); L=131072: 18.3 vs 18.1
+# -- at G=1 each entry owns its own posting array, so the "stream"
+# re-fetches the same bytes the gather would, serially, with per-step
+# grid overhead. In-program at B=128 on the full layout, auto's
+# big-bucket stream picks cost +69 ms/batch vs gathering everything
+# (117.3 -> 186.2 ms device-resident): a program-level scheduling
+# interaction (per-step semaphore waits serialize against the
+# neighbouring sort/combine dispatches), not host cost (step-table
+# build is 5.6 ms) and not upload cost (step tables ride the packed
+# transfer). "auto" therefore only CONSIDERS streaming when
+# G >= STREAM_MIN_GROUP, the shape family where the isolated win is
+# large enough to survive that interaction; "on" still forces the
+# streamed kernel everywhere (suite coverage).
+STREAM_MIN_GROUP = 8
 
 
 def _stream_group_target(L: int, D: int, itemsize: int) -> int:
@@ -122,6 +143,14 @@ def _pad_2bit(n: int, minimum: int = 1, multiple: int = 1) -> int:
     g = 1 << e
     v = -(-n // g) * g
     return -(-v // multiple) * multiple
+
+
+def _stream_shape_ok(n_exp: int, bsize: int, D: int, itemsize: int) -> bool:
+    """Shape gate for STREAM_MODE="auto": only small-bucket shapes, where
+    >= STREAM_MIN_GROUP experts pack into each streamed block, ever showed
+    the streamed kernel's bandwidth advantage (see STREAM_MIN_GROUP)."""
+    G, _ = _stream_cfg(n_exp, bsize, D, itemsize)
+    return G >= STREAM_MIN_GROUP
 
 
 def _stream_auto_wins(
@@ -1032,6 +1061,11 @@ class DeviceExpertIndex:
                 itemsize = bucket["vecs"].dtype.itemsize
                 use_stream = stream_capable and STREAM_MODE != "off"
                 steps = None
+                if use_stream and STREAM_MODE == "auto":
+                    # shape gate BEFORE building the step table: the
+                    # streamed kernel only ever beats the DMA gather at
+                    # small-bucket shapes (see STREAM_MIN_GROUP)
+                    use_stream = _stream_shape_ok(n_exp, bsize, D, itemsize)
                 if use_stream:
                     # streamed scorer: entries slot-sorted so touched
                     # posting groups are visited in address order; pad

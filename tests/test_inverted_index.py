@@ -202,6 +202,26 @@ def test_stream_auto_byte_model():
     assert not decide(np.arange(256, dtype=np.int32) * G)
 
 
+def test_stream_auto_shape_gate():
+    """STREAM_MODE="auto" never streams big-L buckets: the streamed
+    kernel's bandwidth advantage was measured only where >= 8 experts
+    pack into each ~2 MB block (L=512 class); at G<=4 shapes its
+    isolated win is at most ~1 ms per bucket (5.36 vs 6.16 ms at
+    L=2048/G=4, at parity or losing at G=1: 110.6 vs 96.1 GB/s at
+    L=8192, LOSES at L=32768) while in-program those picks cost
+    +69 ms/batch — see STREAM_MIN_GROUP in index/inverted_device.py."""
+    from dpr_scale_tpu.index.inverted_device import _stream_shape_ok
+
+    D, itemsize = 128, 2
+    # small-bucket family (many experts per block): eligible
+    assert _stream_shape_ok(8000, 512, D, itemsize)
+    # mid shape G=4 (pathological compile) and big-L G=1 shapes: gated
+    assert not _stream_shape_ok(3000, 2048, D, itemsize)
+    assert not _stream_shape_ok(800, 8192, D, itemsize)
+    assert not _stream_shape_ok(100, 32768, D, itemsize)
+    assert not _stream_shape_ok(8, 131072, D, itemsize)
+
+
 def test_index_pruning_and_quantization():
     model, params, doc_out = _encode("citadel", 6, 10, seed=6, topk=2)
     doc_out = {k: np.asarray(v) for k, v in doc_out.items()}
