@@ -81,6 +81,7 @@ def main(argv=None):
         host_resident=cfg.task.get("host_resident_index", False),
         method=cfg.task.get("mips_method", "fused"),
         int8_query_planes=cfg.task.get("int8_query_planes"),
+        rerank_oversample=cfg.task.get("rerank_oversample"),
         index_store=cfg.task.get("index_store"),
         device_rows=cfg.task.get("device_rows"),
     )

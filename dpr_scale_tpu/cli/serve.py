@@ -45,6 +45,7 @@ def build_retriever(cfg) -> Retriever:
         "approx",
         "exact_sort",
         "int8",
+        "int4",
     ), f"unknown serve.method {method!r}"
     # int8 quantizes at add() time, so the method must be set at build.
     # serve.index_store: prequantized int8 store dir (built on first

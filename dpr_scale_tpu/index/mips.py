@@ -56,6 +56,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 NEG_INF = jnp.float32(-1e30)
 CHUNK_ROWS = 131072  # per-device scan chunk (scores tile: B x CHUNK fp32)
+INT4_CHUNK_ROWS = 1 << 20  # int4 sweep: rows unpacked per scan step — the
+# (ch, D) int8 temp is 0.77 GB at D=768; the packed 21M corpus itself is
+# 8 GB, so a whole-block unpack (16 GB) would not fit HBM alongside it
 OVERSAMPLE = 3  # approx pass gathers OVERSAMPLE*k candidates per chunk so
 # the exactness verification almost always passes on the first try
 MERGE_EVERY = 4  # chunks whose winners accumulate before one carry re-top-k
@@ -138,8 +141,30 @@ class MipsIndex:
         returned scores carry the quantization error (the reference's
         dynamic-int8 export trades accuracy the same way,
         dpr_task.py:324-368).
+      * ``"int4"``  — capacity mode: column-equalized per-row symmetric
+        4-bit corpus, two values packed per int8 byte in a column-block
+        layout (byte j holds dims j and j+D/2, so unpacking is two
+        arithmetic shifts + one concat — no interleave). QUARTER the HBM
+        of bf16: the whole 21M x 768 north-star corpus is 8.05 GB,
+        device-resident on ONE 16 GB v5e where int8 (16.1 GB) is not.
+        The sweep unpacks chunk-by-chunk under a ``lax.scan`` (bounded
+        HBM temp) into the same int8xint8->int32 MXU dot as ``int8``;
+        queries stay int8 (optionally two-plane), so the corpus-side
+        4-bit quantization is the only added error. Pair with
+        :meth:`set_rerank` to recover exact-grade recall@k from a
+        host-resident fp32 tier. Unverified serving mode like ``int8``.
       * ``"exact_sort"`` — sort-based ``lax.top_k`` per chunk; slow,
         reference semantics for tests.
+
+    Serving-mode rerank tier (``int8`` / ``int4`` / ``approx``):
+    :meth:`set_rerank` attaches a host row source (e.g. the fp32/bf16
+    embedding shards on mmap); ``search`` then over-fetches
+    ``rerank_oversample * k`` device candidates and exactly rescores
+    them on the host — the lossy sweep only has to get the true top-k
+    into a 4x-deeper pool, which is a far easier recall target than
+    ranking them correctly (parity anchor: FAISS IVF/PQ-style
+    candidate-then-rerank, the reference's intended CITADEL index family,
+    citadel_retrieval_task.py:12).
     """
 
     def __init__(
@@ -158,7 +183,9 @@ class MipsIndex:
         streamed blocks, not one: the next block's upload is pipelined
         against the current block's search (that overlap is most of the
         streaming throughput) — size blocks to at most ~half of free HBM."""
-        assert method in ("groupmax", "fused", "auto", "approx", "exact_sort", "int8")
+        assert method in (
+            "groupmax", "fused", "auto", "approx", "exact_sort", "int8", "int4",
+        )
         # int8 + host_resident composes: blocks stream as int8 (HALF the
         # upload bytes of bf16 — the streaming mode is upload-bound)
         self.mesh = mesh
@@ -188,6 +215,10 @@ class MipsIndex:
         # through the host exact fallback. Reset by :meth:`search`; the
         # serving modes (int8/approx) have no verification and leave zeros.
         self.last_repair = {"block_fail_events": 0, "queries_repaired": 0}
+        # optional host exact-rerank tier for the lossy serving modes
+        # (see set_rerank)
+        self._rerank_rows = None
+        self.rerank_oversample = 4
 
     # int8 candidate-pool depth (kc = int8_oversample * k per device)
     int8_oversample = 8
@@ -206,6 +237,49 @@ class MipsIndex:
         sc[sc == 0.0] = 1.0
         q8 = np.clip(np.rint(x / sc[:, None]), -127, 127).astype(np.int8)
         return q8, sc.astype(np.float32), col.astype(np.float32)
+
+    @staticmethod
+    def _quantize_int4_host(emb: np.ndarray):
+        """Column-equalized per-row symmetric 4-bit, nibble-packed:
+        (packed (N, D/2) int8, row_sc, col_sc). Column-BLOCK packing:
+        byte j carries dim j in its low nibble and dim j+D/2 in its high
+        nibble, so the device unpack is concat((p<<4)>>4, p>>4) along D —
+        two shifts, no interleave. Values clip to [-7, 7] (symmetric)."""
+        n, d = emb.shape
+        assert d % 2 == 0, "int4 packing needs an even embedding dim"
+        col = np.abs(emb).max(axis=0)
+        col[col == 0.0] = 1.0
+        x = emb / col[None, :]
+        sc = np.abs(x).max(axis=1) / 7.0
+        sc[sc == 0.0] = 1.0
+        q4 = np.clip(np.rint(x / sc[:, None]), -7, 7).astype(np.int8)
+        lo = q4[:, : d // 2].view(np.uint8) & 0xF
+        hi = q4[:, d // 2 :].view(np.uint8) & 0xF
+        packed = ((hi << 4) | lo).view(np.int8)
+        return np.ascontiguousarray(packed), sc.astype(np.float32), col.astype(
+            np.float32
+        )
+
+    @staticmethod
+    def _unpack_int4(p):
+        """(N, D/2) packed int8 -> (N, D) int8 in [-8, 7]: arithmetic
+        shifts sign-extend both nibbles (column-block layout, see
+        _quantize_int4_host)."""
+        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+        hi = jnp.right_shift(p, 4)
+        return jnp.concatenate([lo, hi], axis=-1)
+
+    def set_rerank(self, rows_fn, oversample: int = 4) -> None:
+        """Attach a host exact-rerank tier to the lossy serving modes
+        (``int8`` / ``int4`` / ``approx``). ``rows_fn(ids: np.int64
+        (M,)) -> np.float32 (M, D)`` returns the ORIGINAL full-precision
+        rows for global row ids (e.g. an mmap over the fp32 embedding
+        shards). ``search`` then fetches ``oversample * k`` device
+        candidates and re-scores them exactly on the host — candidate
+        recall@(oversample*k) becomes the only lossy step. Pass
+        ``rows_fn=None`` to detach."""
+        self._rerank_rows = rows_fn
+        self.rerank_oversample = int(oversample)
 
     # ------------------------------------------------------------------ #
 
@@ -233,9 +307,14 @@ class MipsIndex:
             # jnp conversion would round-trip the accelerator, which over a
             # tunneled deployment means a pathological download); upload
             # happens per search call, pipelined against compute
-            if self.method == "int8":
-                q8, sc, col = self._quantize_int8_host(emb)
-                self._blocks.append((q8, valid, n, self._total_rows))
+            if self.method in ("int8", "int4"):
+                quant = (
+                    self._quantize_int8_host
+                    if self.method == "int8"
+                    else self._quantize_int4_host
+                )
+                q, sc, col = quant(emb)
+                self._blocks.append((q, valid, n, self._total_rows))
                 self._scales.append(sc)
                 self._colscales.append(col)
                 self._total_rows += n
@@ -247,11 +326,16 @@ class MipsIndex:
             self._total_rows += n
             return
         row_sharded = NamedSharding(self.mesh, P("data", None))
-        if self.method == "int8":
+        if self.method in ("int8", "int4"):
             # column-equalized per-row symmetric quantization ON HOST (no
             # device round-trip — see _quantize_int8_host). Pad rows get
             # scale 1 so their scores stay exactly 0.
-            q8, sc, col = self._quantize_int8_host(emb)
+            quant = (
+                self._quantize_int8_host
+                if self.method == "int8"
+                else self._quantize_int4_host
+            )
+            q8, sc, col = quant(emb)
             emb_dev = jax.device_put(q8, row_sharded)
             sc_dev = jax.device_put(
                 np.asarray(sc, np.float32), NamedSharding(self.mesh, P("data"))
@@ -313,20 +397,28 @@ class MipsIndex:
             emb_dev = jax.jit(
                 lambda e, v: e * v.astype(e.dtype), out_shardings=row_sharded
             )(emb_dev, valid_dev)
-        if self.method == "int8":
+        if self.method in ("int8", "int4"):
             # quantize in place on device (same math as add(); row scales
             # stay sharded alongside the rows, the column-equalization
             # scale replicates — its max is a cross-device psum)
+            int4 = self.method == "int4"
+            qmax = 7.0 if int4 else 127.0
+
             def _quant(e):  # noqa: E306
                 ef = e.astype(jnp.float32)
                 col = jnp.max(jnp.abs(ef), axis=0)
                 col = jnp.where(col == 0.0, 1.0, col)
                 x = ef / col[None, :]
-                sc = jnp.max(jnp.abs(x), axis=1) / 127.0
+                sc = jnp.max(jnp.abs(x), axis=1) / qmax
                 sc = jnp.where(sc == 0.0, 1.0, sc)
                 q8 = jnp.clip(
-                    jnp.rint(x / sc[:, None]), -127, 127
+                    jnp.rint(x / sc[:, None]), -qmax, qmax
                 ).astype(jnp.int8)
+                if int4:  # pack nibbles (column-block layout)
+                    half = q8.shape[1] // 2
+                    lo = jnp.bitwise_and(q8[:, :half], 0xF)
+                    hi = jnp.left_shift(q8[:, half:], 4)
+                    q8 = jnp.bitwise_or(hi, lo)
                 return q8, sc, col
 
             emb_dev, sc_dev, col_dev = jax.jit(
@@ -402,6 +494,66 @@ class MipsIndex:
         valid = np.zeros((n_pad, 1), dtype=np.bool_)
         valid[:n] = True
         self._blocks.append((np.ascontiguousarray(q8), valid, n, self._total_rows))
+        self._scales.append(scales.astype(np.float32))
+        self._colscales.append(
+            np.ones((d,), np.float32) if col_scales is None
+            else col_scales.astype(np.float32)
+        )
+        self._total_rows += n
+
+    def add_device_packed4(
+        self, packed_dev: jax.Array, scales_dev: jax.Array,
+        n_valid: Optional[int] = None, col_scales=None,
+    ) -> None:
+        """int4 mode only: add an already-packed row-sharded block
+        ((N_pad, D/2) int8 nibbles, column-block layout + per-row scales
+        as in :meth:`add`). Lets callers quantize+pack in chunks when the
+        unquantized block would not fit HBM (the 21M-on-one-chip path)."""
+        assert self.method == "int4"
+        n_pad, dh = packed_dev.shape
+        d = dh * 2
+        assert packed_dev.dtype == jnp.int8 and scales_dev.shape == (n_pad,)
+        if self._dim is None:
+            self._dim = d
+        assert d == self._dim, "inconsistent embedding dim across blocks"
+        n = n_valid if n_valid is not None else n_pad
+        row_sharded = NamedSharding(self.mesh, P("data", None))
+        valid = np.zeros((n_pad, 1), dtype=np.bool_)
+        valid[:n] = True
+        self._blocks.append(
+            (packed_dev, jax.device_put(jnp.asarray(valid), row_sharded), n,
+             self._total_rows)
+        )
+        self._scales.append(scales_dev)
+        if col_scales is None:
+            col_scales = jax.device_put(
+                jnp.ones((d,), jnp.float32), NamedSharding(self.mesh, P(None))
+            )
+        self._colscales.append(col_scales)
+        self._total_rows += n
+
+    def add_host_packed4(
+        self, packed: np.ndarray, scales: np.ndarray,
+        n_valid: Optional[int] = None, col_scales: Optional[np.ndarray] = None,
+    ) -> None:
+        """int4 mode only: host-resident packed block that streams through
+        the device at search time (QUARTER the upload bytes of bf16 —
+        the streaming mode is upload-bound). Row count must be a multiple
+        of devices*128; coexists with device-resident packed blocks."""
+        assert self.method == "int4"
+        n_pad, dh = packed.shape
+        d = dh * 2
+        assert packed.dtype == np.int8 and scales.shape == (n_pad,)
+        assert n_pad % (self.ndev * 128) == 0
+        if self._dim is None:
+            self._dim = d
+        assert d == self._dim, "inconsistent embedding dim across shards"
+        n = n_valid if n_valid is not None else n_pad
+        valid = np.zeros((n_pad, 1), dtype=np.bool_)
+        valid[:n] = True
+        self._blocks.append(
+            (np.ascontiguousarray(packed), valid, n, self._total_rows)
+        )
         self._scales.append(scales.astype(np.float32))
         self._colscales.append(
             np.ones((d,), np.float32) if col_scales is None
@@ -859,6 +1011,98 @@ class MipsIndex:
         fi = jnp.where(fs <= NEG_INF, -1, fi)
         return fs, fi
 
+    def _int4_search_impl(self, emb, scales, q, k, n_valid, col=None, planes=None):
+        """Traceable approx search over a nibble-packed int4 block
+        ((N_pad, D/2) int8). Same contract as :meth:`_int8_search_impl`.
+
+        The unpacked (chunk, D) int8 temp is bounded by scanning row
+        chunks (INT4_CHUNK_ROWS): at 21M x 768 the whole-corpus unpack
+        would be 16 GB — more than HBM — while the packed corpus itself
+        is only 8 GB. Per-chunk candidates stack as scan outputs (no
+        carry re-top-k) and one local top-k compacts them per device."""
+        from jax import shard_map
+
+        if planes is None:
+            planes = self.int8_query_planes
+
+        n_pad = emb.shape[0]
+        rows_local = n_pad // self.ndev
+        kc = min(max(self.int8_oversample * k, FUSED_KC), rows_local)
+        if col is not None:
+            q = q * col[None, :]
+        qsc = jnp.max(jnp.abs(q), axis=1) / 127.0
+        qsc = jnp.where(qsc == 0.0, 1.0, qsc)
+        qn = q / qsc[:, None]
+        hi = jnp.clip(jnp.rint(qn), -127, 127)
+        if planes == 2:
+            lo = jnp.clip(jnp.rint((qn - hi) * 127.0), -127, 127)
+            q8 = jnp.concatenate([hi, lo]).astype(jnp.int8)
+        else:
+            q8 = hi.astype(jnp.int8)
+
+        # chunk cadence: cap the unpacked (ch, D) int8 temp at
+        # INT4_CHUNK_ROWS rows; the block pads to nch*ch inside the scan
+        # (virtual pad rows are masked to NEG_INF — they must never
+        # surface, their would-be global ids alias the next shard's rows)
+        ch = min(rows_local, INT4_CHUNK_ROWS)
+        nch = -(-rows_local // ch)
+        pad_rows = nch * ch - rows_local
+        kc_c = min(kc, ch)
+
+        def local_approx(emb_l, sc_l, q8, qsc):
+            B = qsc.shape[0]
+            if pad_rows:
+                emb_l = jnp.concatenate(
+                    [emb_l, jnp.zeros((pad_rows, emb_l.shape[1]), emb_l.dtype)]
+                )
+                sc_l = jnp.concatenate([sc_l, jnp.ones((pad_rows,), sc_l.dtype)])
+
+            def body(j, xs):
+                p_chunk, sc_chunk = xs
+                x8 = MipsIndex._unpack_int4(p_chunk)
+                s32 = jnp.dot(q8, x8.T, preferred_element_type=jnp.int32)
+                sf = s32.astype(jnp.float32)
+                if planes == 2:
+                    sf = sf[:B] + sf[B:] * (1.0 / 127.0)
+                s = sf * sc_chunk[None, :] * qsc[:, None]
+                if pad_rows:
+                    rid = j * ch + jnp.arange(ch)
+                    s = jnp.where(rid[None, :] < rows_local, s, NEG_INF)
+                return j + 1, jax.lax.approx_max_k(s, kc_c)
+
+            _, (ts, ti) = jax.lax.scan(
+                body,
+                jnp.int32(0),
+                (
+                    emb_l.reshape(nch, ch, -1),
+                    sc_l.reshape(nch, ch),
+                ),
+            )  # ts/ti: (nch, B, kc_c)
+            ti = ti + (jnp.arange(nch, dtype=jnp.int32) * ch)[:, None, None]
+            ts = jnp.moveaxis(ts, 0, 1).reshape(B, nch * kc_c)
+            ti = jnp.moveaxis(ti, 0, 1).reshape(B, nch * kc_c)
+            if nch > 1:  # compact the stacked pools to one per-device pool
+                ts, pos = jax.lax.top_k(ts, kc)
+                ti = jnp.take_along_axis(ti, pos, axis=1)
+            shard = jax.lax.axis_index("data")
+            return ts, ti + shard * rows_local
+
+        cand_s, cand_i = shard_map(
+            local_approx,
+            mesh=self.mesh,
+            in_specs=(P("data", None), P("data"), P(None, None), P(None,)),
+            out_specs=(P(None, "data"), P(None, "data")),
+        )(emb, scales, q8, qsc)
+        cand_s = jnp.where(cand_i < n_valid, cand_s, NEG_INF)  # mask pads
+        fs, fpos = jax.lax.top_k(cand_s, k)
+        fi = jnp.take_along_axis(cand_i, fpos, axis=1)
+        fi = jnp.where(fs <= NEG_INF, -1, fi)
+        return fs, fi
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 7))
+    def _int4_search(self, emb, scales, q, k, n_valid, col=None, planes=1):
+        return self._int4_search_impl(emb, scales, q, k, n_valid, col, planes)
+
     def _serving_multi_impl(self, blocks, q, k_eff, meta, planes):
         """All device-resident blocks searched and merged in ONE program.
 
@@ -878,6 +1122,10 @@ class MipsIndex:
         for (emb, sc, col), (n_valid, offset, k_block) in zip(blocks, meta):
             if self.method == "int8":
                 s, i = self._int8_search_impl(
+                    emb, sc, q, k_block, n_valid, col, planes
+                )
+            elif self.method == "int4":
+                s, i = self._int4_search_impl(
                     emb, sc, q, k_block, n_valid, col, planes
                 )
             else:
@@ -1078,8 +1326,13 @@ class MipsIndex:
                     s, i, fail = self._groupmax_search_impl(emb, q, k, _n)
                 elif self.method == "fused":
                     s, i, fail = self._fused_search_impl(emb, q, k, _n)
-                elif self.method == "int8":
-                    s, i = self._int8_search_impl(
+                elif self.method in ("int8", "int4"):
+                    impl = (
+                        self._int8_search_impl
+                        if self.method == "int8"
+                        else self._int4_search_impl
+                    )
+                    s, i = impl(
                         emb, self._scales[0], q, k, _n, self._colscales[0]
                     )
                     fail = jnp.zeros((q.shape[0],), bool)  # unverified mode
@@ -1154,7 +1407,7 @@ class MipsIndex:
             "qps": iters * B / dt,
             # exact by construction after phase 2 — except the unverified
             # serving modes
-            "all_exact": self.method not in ("int8", "approx"),
+            "all_exact": self.method not in ("int8", "int4", "approx"),
             "fallback_queries": n_fail,
             "iters": iters,
             "batch": B,
@@ -1188,9 +1441,10 @@ class MipsIndex:
     def _search_block(
         self, emb, valid, queries, k, n_valid=None, scales=None, col=None
     ) -> Tuple[np.ndarray, np.ndarray]:
-        if self.method == "int8":
+        if self.method in ("int8", "int4"):
             n = int(n_valid) if n_valid is not None else emb.shape[0]
-            s, i = self._int8_search(
+            fn = self._int8_search if self.method == "int8" else self._int4_search
+            s, i = fn(
                 emb, scales, queries, k, n, col, int(self.int8_query_planes)
             )
             return np.asarray(s), np.asarray(i)
@@ -1242,6 +1496,46 @@ class MipsIndex:
         """Global top-k over all added blocks. queries: (B, D) fp32."""
         assert self._blocks, "index is empty"
         self.last_repair = {"block_fail_events": 0, "queries_repaired": 0}
+        if self._rerank_rows is not None and self.method in (
+            "int8", "int4", "approx",
+        ):
+            # host exact-rerank tier: over-fetch device candidates, then
+            # rescore them against the original fp32 rows (set_rerank)
+            k_deep = min(self.rerank_oversample * k, self._total_rows)
+            s, i = self._search_raw(queries, k_deep)
+            return self._host_rerank(queries, s, i, min(k, self._total_rows))
+        return self._search_raw(queries, k)
+
+    def _host_rerank(self, queries, cand_s, cand_i, k):
+        """Exact rescore of device candidates against original rows."""
+        uniq, inv = np.unique(cand_i, return_inverse=True)
+        valid_from = 1 if uniq.size and uniq[0] < 0 else 0
+        rows = np.zeros((uniq.size, queries.shape[1]), np.float32)
+        if uniq.size > valid_from:
+            rows[valid_from:] = self._rerank_rows(uniq[valid_from:])
+        # (B, k_deep) exact scores; -1 pad candidates stay -inf. Chunked
+        # over queries so the (chunk, k_deep, D) row gather stays small.
+        qf = np.asarray(queries, np.float32)
+        inv2 = inv.reshape(cand_i.shape)
+        es = np.empty(cand_i.shape, np.float32)
+        for lo in range(0, qf.shape[0], 64):
+            hi_ = min(lo + 64, qf.shape[0])
+            es[lo:hi_] = np.einsum(
+                "bd,bkd->bk", qf[lo:hi_], rows[inv2[lo:hi_]], optimize=True
+            )
+        es = np.where(cand_i < 0, -np.inf, es)
+        # candidates may repeat across blocks? (they cannot: global row
+        # ids are disjoint per block) — straight re-top-k is enough
+        part = np.argpartition(-es, min(k, es.shape[1]) - 1, axis=1)[:, :k]
+        ps = np.take_along_axis(es, part, axis=1)
+        pi = np.take_along_axis(cand_i, part, axis=1)
+        order = np.argsort(-ps, kind="stable", axis=1)
+        return (
+            np.take_along_axis(ps, order, axis=1),
+            np.take_along_axis(pi, order, axis=1),
+        )
+
+    def _search_raw(self, queries, k):
         k_eff = min(k, self._total_rows)
         q = jax.device_put(
             jnp.asarray(queries, jnp.float32),
@@ -1249,7 +1543,7 @@ class MipsIndex:
         )
         if (
             len(self._blocks) > 1
-            and self.method in ("int8", "approx")
+            and self.method in ("int8", "int4", "approx")
             and not any(isinstance(b[0], np.ndarray) for b in self._blocks)
         ):
             # device-resident serving modes: one fused dispatch (device

@@ -112,13 +112,28 @@ def retrieve(
     int8_query_planes: Optional[int] = None,
     index_store: Optional[str] = None,
     device_rows: Optional[int] = None,
+    rerank_oversample: Optional[int] = None,
 ) -> List[List[Dict]]:
-    """Returns per-question context lists; optionally writes output files."""
+    """Returns per-question context lists; optionally writes output files.
+
+    ``rerank_oversample`` (lossy methods int8/int4/approx only): attach a
+    host exact-rerank tier over the original fp32 shard rows — the device
+    sweep fetches ``rerank_oversample*k`` candidates and the host rescores
+    them exactly (MipsIndex.set_rerank). Costs one extra in-RAM fp32 copy
+    of the corpus."""
     if index is None:
         index = build_index(
             ctx_embeddings_dir, mesh, host_resident=host_resident, method=method,
             index_store=index_store, device_rows=device_rows,
         )
+    if rerank_oversample:
+        if method not in ("int8", "int4", "approx"):
+            raise ValueError("rerank_oversample requires a lossy mips_method")
+        shards = load_embedding_shards(ctx_embeddings_dir)
+        rows = np.ascontiguousarray(
+            np.concatenate([e for _n, e in shards], axis=0), dtype=np.float32
+        )
+        index.set_rerank(lambda ids: rows[ids], oversample=int(rerank_oversample))
     # applies to prebuilt indexes too (multiset flows reuse one index
     # across query sets); None leaves a prebuilt index's setting alone.
     # A static jit arg, so mutation is safe.
