@@ -75,12 +75,20 @@ class _CoalescingPipeline:
         max_k: int = 1000,
         coalesce_wait_ms: float = 2.0,
         search_queue_depth: int = 2,
+        serialized: bool = False,
     ):
         self.passages = passages
         self.default_k = default_k
         self.max_batch = max_batch
         self.max_k = max_k
         self.coalesce_wait_ms = coalesce_wait_ms
+        # serialized=True disables the encode/search overlap (the encode
+        # worker finishes each group end-to-end before taking the next) —
+        # kept for within-window A/B benchmarking of the pipeline itself
+        # (tools/bench_serving_http.py --ab; read per group, so it can be
+        # toggled on a live pipeline between phases); production serving
+        # wants the default two-stage overlap.
+        self.serialized = serialized
         self._encode_q: _queue.Queue = _queue.Queue()
         self._search_q: _queue.Queue = _queue.Queue(maxsize=search_queue_depth)
         self._workers_started = False
@@ -154,33 +162,39 @@ class _CoalescingPipeline:
             except Exception:  # noqa: BLE001
                 self._isolate(batch)
                 continue
-            # bounded: blocks (back-pressure) once the search worker is
-            # one group behind — encode never races further ahead
-            self._search_q.put((batch, payloads, k_s))
+            if self.serialized:
+                # A/B mode: finish the group on this thread — no overlap
+                self._search_group(batch, payloads, k_s)
+            else:
+                # bounded: blocks (back-pressure) once the search worker is
+                # one group behind — encode never races further ahead
+                self._search_q.put((batch, payloads, k_s))
+
+    def _search_group(self, batch, payloads, k_s):
+        try:
+            all_s, all_r = [], []
+            for payload, n_real in payloads:
+                s, r = self._search_payload(payload, k_s)
+                all_s.append(s[:n_real])
+                all_r.append(r[:n_real])
+            scores = np.concatenate(all_s)
+            rows = np.concatenate(all_r)
+            off = 0
+            for r in batch:
+                m = len(r.texts)
+                r.scores, r.rows = scores[off : off + m], rows[off : off + m]
+                off += m
+                r.event.set()
+        except Exception as e:  # noqa: BLE001
+            if len(batch) == 1:
+                batch[0].error = e
+                batch[0].event.set()
+            else:
+                self._isolate(batch)
 
     def _search_worker(self):
         while True:
-            batch, payloads, k_s = self._search_q.get()
-            try:
-                all_s, all_r = [], []
-                for payload, n_real in payloads:
-                    s, r = self._search_payload(payload, k_s)
-                    all_s.append(s[:n_real])
-                    all_r.append(r[:n_real])
-                scores = np.concatenate(all_s)
-                rows = np.concatenate(all_r)
-                off = 0
-                for r in batch:
-                    m = len(r.texts)
-                    r.scores, r.rows = scores[off : off + m], rows[off : off + m]
-                    off += m
-                    r.event.set()
-            except Exception as e:  # noqa: BLE001
-                if len(batch) == 1:
-                    batch[0].error = e
-                    batch[0].event.set()
-                else:
-                    self._isolate(batch)
+            self._search_group(*self._search_q.get())
 
     def _ensure_workers(self):
         if not self._workers_started:

@@ -59,7 +59,7 @@ def server_setup(tmp_path_factory):
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{port}", passages
+    yield f"http://127.0.0.1:{port}", passages, retriever
     server.shutdown()
 
 
@@ -77,14 +77,14 @@ def _post(url, payload):
 
 
 def test_healthz(server_setup):
-    url, _ = server_setup
+    url, _, _ = server_setup
     with urllib.request.urlopen(url + "/healthz") as resp:
         body = json.loads(resp.read())
     assert body == {"status": "ok", "corpus_rows": 20, "towers": ["/search"]}
 
 
 def test_search_roundtrip(server_setup):
-    url, passages = server_setup
+    url, passages, _ = server_setup
     status, body = _post(url, {"questions": ["passage text 3", "passage text 7"], "k": 4})
     assert status == 200
     results = body["results"]
@@ -101,7 +101,7 @@ def test_search_roundtrip(server_setup):
 
 
 def test_search_error_handling(server_setup):
-    url, _ = server_setup
+    url, _, _ = server_setup
     assert _post(url, {"questions": []})[0] == 400
     assert _post(url, {"k": 3})[0] == 400
     assert _post(url, {"questions": ["x"], "k": -1})[0] == 400
@@ -110,7 +110,7 @@ def test_search_error_handling(server_setup):
 
 
 def test_search_k_cap_and_bucketing(server_setup):
-    url, _ = server_setup
+    url, _, _ = server_setup
     # k above the configured max_k is rejected, not compiled-under-lock
     assert _post(url, {"questions": ["x"], "k": 10_001})[0] == 400
     # non-power-of-two k still returns exactly k results (searched k is
@@ -154,7 +154,7 @@ def test_coalesced_failure_isolation(server_setup, tmp_path):
     mesh = get_mesh(8)
     encoder = CorpusEncoder(model, params, mesh, use_query_tower=True)
     ctx_encoder = CorpusEncoder(model, params, mesh)
-    _, passages = server_setup
+    _, passages, _ = server_setup
     texts = [passages[i]["text"] for i in range(20)]
     cids, cmask = base_tok(texts)
     emb = np.asarray(ctx_encoder._encode(params, cids, cmask), np.float32)
@@ -198,7 +198,7 @@ def test_search_roundtrip_int8(server_setup, tmp_path):
     """The int8 serving index behind the same Retriever surface: a query
     identical to a passage must still retrieve it first (quantization
     preserves the self-similarity argmax on this separable corpus)."""
-    url, passages = server_setup
+    url, passages, _ = server_setup
     # build a second retriever on an int8 index over the same corpus
     import dataclasses as _dc
 
@@ -390,7 +390,7 @@ def test_citadel_concurrent_coalesced_load(citadel_server_setup):
 def test_dense_pipeline_concurrent_load(server_setup):
     """Same concurrency drill for the dense tower (exercises the
     device-array payload hand-off between encode and search workers)."""
-    url, _ = server_setup
+    url, _, _ = server_setup
     results, errors = {}, []
 
     def call(i):
@@ -410,3 +410,21 @@ def test_dense_pipeline_concurrent_load(server_setup):
     assert not errors and len(results) == 16
     for q, top1 in results.values():
         assert top1 == "d" + q.rsplit(" ", 1)[1]
+
+
+def test_serialized_mode_matches_pipelined(server_setup):
+    """`serialized=True` (the bench A/B control that disables the
+    encode/search overlap) must return byte-identical results and be
+    toggleable on a live pipeline (tools/bench_serving_http.py --ab
+    flips it between timed phases)."""
+    url, _, retriever = server_setup
+    qs = [f"passage text {i}" for i in range(6)]
+    status, piped = _post(url, {"questions": qs, "k": 5})
+    assert status == 200
+    retriever.serialized = True
+    try:
+        status, serial = _post(url, {"questions": qs, "k": 5})
+    finally:
+        retriever.serialized = False
+    assert status == 200
+    assert serial == piped

@@ -184,7 +184,7 @@ def measure(tag, corpus, queries, results, target=None):
             4,
         )
 
-    for method in ("int8", "approx"):
+    for method in ("int8", "approx", "int4"):
         ix = build(method)
         _s, i_m = ix.search(queries, k=100)
         results[f"{tag}_{method}_recall@100"] = recall(i_m)
@@ -197,6 +197,16 @@ def measure(tag, corpus, queries, results, target=None):
             results[f"{tag}_int8p2_recall@100"] = recall(i_m2)
             if target is not None:
                 results[f"{tag}_int8p2_mrr@10"] = mrr10(i_m2)
+        if method == "int4":
+            # host exact-rerank tier over the 4x int4 candidate pool
+            # (MipsIndex.set_rerank): the serving menu's quality-recovery
+            # lever for the quarter-HBM capacity mode
+            cf = np.ascontiguousarray(corpus, dtype=np.float32)
+            ix.set_rerank(lambda ids: cf[ids], oversample=4)
+            _s, i_m3 = ix.search(queries, k=100)
+            results[f"{tag}_int4rr4_recall@100"] = recall(i_m3)
+            if target is not None:
+                results[f"{tag}_int4rr4_mrr@10"] = mrr10(i_m3)
 
 
 def main():

@@ -41,6 +41,14 @@ def main():
     p.add_argument("--method", default="fused")
     p.add_argument("--wait-ms", type=float, default=2.0)
     p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument(
+        "--ab",
+        action="store_true",
+        help="within-window A/B of the two-stage encode/search overlap: run "
+        "the timed client phase twice on the same warmed server — pipelined "
+        "then serialized (retriever.serialized toggled live) — so tunnel "
+        "bandwidth drift can't masquerade as a pipelining win",
+    )
     args = p.parse_args()
 
     cpu = bool(os.environ.get("BENCH_SERVE_CPU"))
@@ -148,48 +156,65 @@ def main():
     warm = http.client.HTTPConnection("127.0.0.1", port)
     one_request(warm, ["warm up query"] * args.qper, args.k)
 
-    lat = []
-    lat_lock = threading.Lock()
+    def timed_phase():
+        lat = []
+        lat_lock = threading.Lock()
 
-    def client(ci):
-        conn = http.client.HTTPConnection("127.0.0.1", port)
-        rng = np.random.default_rng(ci)
-        mine = []
-        for _ in range(args.requests):
-            qs = [
-                " ".join(f"w{rng.integers(0, 200)}" for _ in range(8))
-                for _ in range(args.qper)
-            ]
-            mine.append(one_request(conn, qs, args.k))
-        with lat_lock:
-            lat.extend(mine)
+        def client(ci):
+            conn = http.client.HTTPConnection("127.0.0.1", port)
+            rng = np.random.default_rng(ci)
+            mine = []
+            for _ in range(args.requests):
+                qs = [
+                    " ".join(f"w{rng.integers(0, 200)}" for _ in range(8))
+                    for _ in range(args.qper)
+                ]
+                mine.append(one_request(conn, qs, args.k))
+            with lat_lock:
+                lat.extend(mine)
 
-    threads = [
-        threading.Thread(target=client, args=(ci,)) for ci in range(args.clients)
-    ]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
+        threads = [
+            threading.Thread(target=client, args=(ci,))
+            for ci in range(args.clients)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        total_q = args.clients * args.requests * args.qper
+        lat_ms = np.array(lat) * 1e3
+        return {
+            "value": round(total_q / wall, 1),
+            "requests_per_s": round(len(lat) / wall, 1),
+            "lat_ms_p50": round(float(np.percentile(lat_ms, 50)), 1),
+            "lat_ms_p95": round(float(np.percentile(lat_ms, 95)), 1),
+        }
 
-    total_q = args.clients * args.requests * args.qper
-    lat_ms = np.array(lat) * 1e3
-    print(
-        json.dumps(
-            {
-                "metric": f"serving_http_qps_{args.rows}rows_{args.clients}cli",
-                "value": round(total_q / wall, 1),
-                "unit": "questions/s",
-                "requests_per_s": round(len(lat) / wall, 1),
-                "lat_ms_p50": round(float(np.percentile(lat_ms, 50)), 1),
-                "lat_ms_p95": round(float(np.percentile(lat_ms, 95)), 1),
-                "coalesce_wait_ms": args.wait_ms,
-                "method": args.method,
-            }
+    out = {
+        "metric": f"serving_http_qps_{args.rows}rows_{args.clients}cli",
+        "unit": "questions/s",
+        "coalesce_wait_ms": args.wait_ms,
+        "method": args.method,
+    }
+    if args.ab:
+        # pipelined -> serialized -> pipelined again: the bracketing
+        # pipelined phases bound tunnel drift across the serialized one
+        out.update(timed_phase())
+        retriever.serialized = True
+        out["serialized"] = timed_phase()
+        retriever.serialized = False
+        out["pipelined_again"] = timed_phase()
+        out["overlap_speedup"] = round(
+            (out["value"] + out["pipelined_again"]["value"])
+            / 2.0
+            / out["serialized"]["value"],
+            3,
         )
-    )
+    else:
+        out.update(timed_phase())
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
