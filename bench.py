@@ -90,14 +90,19 @@ def main():
     method = os.environ.get("BENCH_MIPS_METHOD", "fused")
     row_sharded = NamedSharding(mesh, P("data", None))
     index = MipsIndex(mesh, dtype=jnp.bfloat16, method=method)
-    if method == "int8" and CORPUS_ROWS > 4_194_304:
-        # int8 capacity mode: the intermediate bf16 corpus would not fit
-        # HBM, so synthesize + quantize chunk-by-chunk into a donated
-        # int8 buffer (peak = int8 corpus + one bf16 chunk)
+    if method in ("int8", "int4") and CORPUS_ROWS > 4_194_304:
+        # int8/int4 capacity mode: the intermediate bf16 corpus would not
+        # fit HBM, so synthesize + quantize chunk-by-chunk into a donated
+        # quantized buffer (peak = quantized corpus + one bf16 chunk).
+        # int4 packs two 4-bit values per byte (column-block layout) —
+        # the whole 21M north-star corpus fits one v5e at 8.05 GB.
         CH = 1_048_576
         assert CORPUS_ROWS % CH == 0
+        int4 = method == "int4"
+        qmax = 7.0 if int4 else 127.0
+        width = DIM // 2 if int4 else DIM
         q8 = jax.jit(
-            lambda: jnp.zeros((CORPUS_ROWS, DIM), jnp.int8),
+            lambda: jnp.zeros((CORPUS_ROWS, width), jnp.int8),
             out_shardings=row_sharded,
         )()
         sc = jax.jit(
@@ -108,11 +113,17 @@ def main():
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def fill(q8, sc, key, lo):
             e = jax.random.normal(key, (CH, DIM), jnp.bfloat16)
-            s = jnp.max(jnp.abs(e.astype(jnp.float32)), axis=1) / 127.0
+            s = jnp.max(jnp.abs(e.astype(jnp.float32)), axis=1) / qmax
             s = jnp.where(s == 0.0, 1.0, s)
             q = jnp.clip(
-                jnp.rint(e.astype(jnp.float32) / s[:, None]), -127, 127
+                jnp.rint(e.astype(jnp.float32) / s[:, None]), -qmax, qmax
             ).astype(jnp.int8)
+            if int4:
+                half = DIM // 2
+                q = jnp.bitwise_or(
+                    jnp.left_shift(q[:, half:], 4),
+                    jnp.bitwise_and(q[:, :half], 0xF),
+                )
             q8 = jax.lax.dynamic_update_slice(q8, q, (lo, 0))
             sc = jax.lax.dynamic_update_slice(sc, s, (lo,))
             return q8, sc
@@ -122,8 +133,11 @@ def main():
                 q8, sc, jax.random.PRNGKey(ci), jnp.int32(lo)
             )
         jax.block_until_ready(q8)
-        note("int8 corpus synthesized on device (chunked)")
-        index.add_device_quantized(q8, sc)
+        note(f"{method} corpus synthesized on device (chunked)")
+        if int4:
+            index.add_device_packed4(q8, sc)
+        else:
+            index.add_device_quantized(q8, sc)
     else:
         # synthesize the corpus directly on-device, row-sharded (a real
         # corpus arrives via encode shards; for the bench the 6GB

@@ -259,7 +259,7 @@ def check_mips(rows):
             )
         )
 
-    for method, floor in (("int8", 0.95), ("approx", 0.97)):
+    for method, floor in (("int8", 0.95), ("approx", 0.97), ("int4", 0.70)):
         ix = build(method)
         _s, i_m = ix.search(q, k=100)
         rec = recall_vs_exact(i_m)
@@ -273,6 +273,18 @@ def check_mips(rows):
             rec2 = recall_vs_exact(i_m2)
             detail["int8p2_recall@100"] = round(rec2, 4)
             assert rec2 >= rec - 0.005, f"two-plane regressed: {rec2} vs {rec}"
+        if method == "int4":
+            # the capacity tier's quality-recovery lever: candidate
+            # recall of the 4x-oversampled pool == what an exact rerank
+            # (MipsIndex.set_rerank) recovers; measured 0.9985 at 21M
+            _s, i_deep = ix.search(q, k=400)
+            pool = float(
+                np.mean(
+                    [len(set(a) & set(b)) / 100.0 for a, b in zip(i_deep, i_exact)]
+                )
+            )
+            detail["int4_pool4x_recall@100"] = round(pool, 4)
+            assert pool >= 0.97, f"int4 4x candidate pool recall {pool}"
     return detail
 
 
