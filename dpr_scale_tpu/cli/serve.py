@@ -73,6 +73,10 @@ def build_retriever(cfg) -> Retriever:
         passages,
         default_k=s.get("k", 10),
         max_batch=s.get("max_batch", 64),
+        # serve.pipelined=true opts into the two-stage encode/search
+        # overlap — measured SLOWER on a single chip (see
+        # retrieve/server.py docstring); only for multi-device stages
+        serialized=not s.get("pipelined", False),
     )
     # warm the jit caches so the first request isn't a compile; k is a
     # static jit argument, so warm at the DEFAULT k real requests will use
@@ -123,6 +127,7 @@ def build_citadel_retriever(cfg):
         add_cls=sc.get("add_cls", False),
         default_k=sc.get("k", 10),
         max_batch=sc.get("max_batch", 64),
+        serialized=not sc.get("pipelined", False),
     )
     retriever.search(["warmup"], k=retriever.default_k)
     return retriever

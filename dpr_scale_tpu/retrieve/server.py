@@ -7,21 +7,27 @@ stdlib HTTP server (``cli/serve.py``). Queries are padded into
 power-of-two batch buckets so the jitted encode+search programs are reused
 across request sizes.
 
-Concurrency design — a TWO-STAGE coalescing pipeline per retriever:
+Concurrency design — a coalescing worker per retriever, with an OPT-IN
+two-stage encode/search overlap:
 
-  request threads --> encode worker --> bounded queue --> search worker
+  request threads --> encode worker [--> bounded queue --> search worker]
 
 * Concurrent callers COALESCE: the encode worker merges everything pending
   (bounded by ``coalesce_wait_ms`` after the first request) into one
   padded device batch — under load the TPU sees large batches instead of a
   serialized stream of small ones, which is where its throughput lives.
-* Encode of coalesced group N+1 OVERLAPS search of group N: tokenization
-  (host CPU), the encode dispatch/upload, and any host fetch of routing
-  data happen in the encode worker while the search worker still owns
-  group N's device search and result join. On a tunneled TPU the serving
-  path was previously tokenize -> encode -> search -> join strictly
-  serialized per batch (docs/STATUS.md round-3 HTTP numbers); the bounded
-  hand-off queue (depth 2) gives one group of lookahead with back-pressure.
+* The default is ``serialized=True``: each coalesced group runs
+  tokenize -> encode -> search -> join end-to-end on one worker. A
+  two-stage overlap (encode group N+1 while group N searches,
+  ``serialized=False``) was built and A/B-measured on-chip at 2.1M rows /
+  16 clients (tools/bench_serving_http.py --ab): it LOSES 38% —
+  147 q/s pipelined vs 235 q/s serialized, p50 393 vs 207 ms. On a
+  single chip encode and search serialize on the device anyway, so the
+  overlap buys no device parallelism; what it does do is drain the
+  encode queue faster, which SHRINKS the coalesced group sizes — the
+  back-pressure of the serialized worker is itself the batching
+  mechanism. Keep the overlap opt-in for deployments where the stages
+  use different devices or host routing work dominates (CITADEL).
 * Passage materialization (host dict/mmap lookups) happens on the REQUEST
   thread, off the device critical path.
 
@@ -75,19 +81,19 @@ class _CoalescingPipeline:
         max_k: int = 1000,
         coalesce_wait_ms: float = 2.0,
         search_queue_depth: int = 2,
-        serialized: bool = False,
+        serialized: bool = True,
     ):
         self.passages = passages
         self.default_k = default_k
         self.max_batch = max_batch
         self.max_k = max_k
         self.coalesce_wait_ms = coalesce_wait_ms
-        # serialized=True disables the encode/search overlap (the encode
-        # worker finishes each group end-to-end before taking the next) —
-        # kept for within-window A/B benchmarking of the pipeline itself
-        # (tools/bench_serving_http.py --ab; read per group, so it can be
-        # toggled on a live pipeline between phases); production serving
-        # wants the default two-stage overlap.
+        # serialized=True (default, measured faster — see module
+        # docstring) finishes each coalesced group end-to-end on the
+        # encode worker; serialized=False enables the two-stage
+        # encode/search overlap. Read per group, so it can be toggled on
+        # a live pipeline (tools/bench_serving_http.py --ab does, between
+        # timed phases).
         self.serialized = serialized
         self._encode_q: _queue.Queue = _queue.Queue()
         self._search_q: _queue.Queue = _queue.Queue(maxsize=search_queue_depth)
@@ -163,7 +169,8 @@ class _CoalescingPipeline:
                 self._isolate(batch)
                 continue
             if self.serialized:
-                # A/B mode: finish the group on this thread — no overlap
+                # default: finish the group on this thread — while it
+                # runs, new requests pile up into a LARGER next group
                 self._search_group(batch, payloads, k_s)
             else:
                 # bounded: blocks (back-pressure) once the search worker is

@@ -388,9 +388,11 @@ def test_citadel_concurrent_coalesced_load(citadel_server_setup):
 
 
 def test_dense_pipeline_concurrent_load(server_setup):
-    """Same concurrency drill for the dense tower (exercises the
-    device-array payload hand-off between encode and search workers)."""
-    url, _, _ = server_setup
+    """Same concurrency drill for the dense tower, in the OPT-IN
+    two-stage overlap mode (exercises the device-array payload hand-off
+    between encode and search workers, which the serialized default
+    never touches)."""
+    url, _, retriever = server_setup
     results, errors = {}, []
 
     def call(i):
@@ -403,28 +405,33 @@ def test_dense_pipeline_concurrent_load(server_setup):
             errors.append(e)
 
     threads = [threading.Thread(target=call, args=(i,)) for i in range(16)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    retriever.serialized = False
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        retriever.serialized = True
     assert not errors and len(results) == 16
     for q, top1 in results.values():
         assert top1 == "d" + q.rsplit(" ", 1)[1]
 
 
-def test_serialized_mode_matches_pipelined(server_setup):
-    """`serialized=True` (the bench A/B control that disables the
-    encode/search overlap) must return byte-identical results and be
-    toggleable on a live pipeline (tools/bench_serving_http.py --ab
-    flips it between timed phases)."""
+def test_pipelined_mode_matches_serialized(server_setup):
+    """`serialized=False` (the opt-in two-stage encode/search overlap —
+    measured slower on one chip, kept for multi-device stages) must
+    return byte-identical results and be toggleable on a live pipeline
+    (tools/bench_serving_http.py --ab flips it between timed phases)."""
     url, _, retriever = server_setup
+    assert retriever.serialized  # measured-faster default
     qs = [f"passage text {i}" for i in range(6)]
-    status, piped = _post(url, {"questions": qs, "k": 5})
+    status, serial = _post(url, {"questions": qs, "k": 5})
     assert status == 200
-    retriever.serialized = True
+    retriever.serialized = False
     try:
-        status, serial = _post(url, {"questions": qs, "k": 5})
+        status, piped = _post(url, {"questions": qs, "k": 5})
     finally:
-        retriever.serialized = False
+        retriever.serialized = True
     assert status == 200
     assert serial == piped

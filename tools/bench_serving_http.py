@@ -44,10 +44,12 @@ def main():
     p.add_argument(
         "--ab",
         action="store_true",
-        help="within-window A/B of the two-stage encode/search overlap: run "
-        "the timed client phase twice on the same warmed server — pipelined "
-        "then serialized (retriever.serialized toggled live) — so tunnel "
-        "bandwidth drift can't masquerade as a pipelining win",
+        help="within-window A/B of the two-stage encode/search overlap: "
+        "serialized (the default) -> pipelined -> serialized again on the "
+        "same warmed server (retriever.serialized toggled live), so tunnel "
+        "bandwidth drift can't masquerade as a pipelining win. Measured at "
+        "2.1M rows / 16 clients: pipelined LOSES 38% (147 vs 235 q/s) — "
+        "see retrieve/server.py",
     )
     args = p.parse_args()
 
@@ -199,17 +201,17 @@ def main():
         "method": args.method,
     }
     if args.ab:
-        # pipelined -> serialized -> pipelined again: the bracketing
-        # pipelined phases bound tunnel drift across the serialized one
+        # serialized (default) -> pipelined -> serialized again: the
+        # bracketing default phases bound tunnel drift across the overlap
         out.update(timed_phase())
-        retriever.serialized = True
-        out["serialized"] = timed_phase()
         retriever.serialized = False
-        out["pipelined_again"] = timed_phase()
+        out["pipelined"] = timed_phase()
+        retriever.serialized = True
+        out["serialized_again"] = timed_phase()
         out["overlap_speedup"] = round(
-            (out["value"] + out["pipelined_again"]["value"])
-            / 2.0
-            / out["serialized"]["value"],
+            out["pipelined"]["value"]
+            * 2.0
+            / (out["value"] + out["serialized_again"]["value"]),
             3,
         )
     else:
