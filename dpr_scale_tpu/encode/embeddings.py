@@ -76,6 +76,75 @@ def load_embedding_shards(ctx_embeddings_dir: str) -> List[Tuple[str, np.ndarray
     ]
 
 
+class ShardRowReader:
+    """Random row access over the ``reps_*`` shards WITHOUT materializing
+    the full fp32 corpus in RAM (a 21M x 768 corpus is ~64 GB — the
+    in-RAM copy would undercut the int4/int8 capacity tiers this reader
+    serves as the exact-rerank source for, MipsIndex.set_rerank).
+
+    ``.npy`` shards are mmap'd directly (bytes page in on demand). For
+    ``.pkl`` shards a sidecar fp32 ``.rerank.npy`` memmap is built ONCE
+    per shard (streamed; peak RAM = one shard) and reused while the
+    source pickle's (size, mtime) is unchanged.
+    """
+
+    def __init__(self, ctx_embeddings_dir: str):
+        names = sorted(
+            n
+            for n in os.listdir(ctx_embeddings_dir)
+            if n.startswith("reps_")
+            and (n.endswith(".pkl") or n.endswith(".npy"))
+            and not n.endswith(".rerank.npy")
+        )
+        if not names:
+            raise FileNotFoundError(f"no reps_* shards in {ctx_embeddings_dir}")
+        self._maps: List[np.ndarray] = []
+        offsets = [0]
+        for n in names:
+            path = os.path.join(ctx_embeddings_dir, n)
+            if n.endswith(".npy"):
+                m = np.load(path, mmap_mode="r")
+            else:
+                m = self._pkl_sidecar(path)
+            self._maps.append(m)
+            offsets.append(offsets[-1] + m.shape[0])
+        self._offsets = np.asarray(offsets, np.int64)
+        self.num_rows = int(self._offsets[-1])
+        self.dim = int(self._maps[0].shape[1])
+
+    @staticmethod
+    def _pkl_sidecar(path: str) -> np.ndarray:
+        side = path + ".rerank.npy"
+        st = os.stat(path)
+        fp_path = side + ".fp"
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+        if os.path.exists(side) and os.path.exists(fp_path):
+            if open(fp_path).read() == fp:
+                return np.load(side, mmap_mode="r")
+        arr = load_embedding_shard(path)
+        mm = np.lib.format.open_memmap(
+            side, mode="w+", dtype=np.float32, shape=arr.shape
+        )
+        mm[:] = arr
+        mm.flush()
+        del arr, mm
+        with open(fp_path, "w") as f:
+            f.write(fp)
+        return np.load(side, mmap_mode="r")
+
+    def __call__(self, ids: np.ndarray) -> np.ndarray:
+        """rows_fn contract (MipsIndex.set_rerank): global row ids ->
+        (M, D) fp32."""
+        ids = np.asarray(ids, np.int64)
+        out = np.empty((ids.size, self.dim), np.float32)
+        shard_of = np.searchsorted(self._offsets, ids, side="right") - 1
+        for si in np.unique(shard_of):
+            sel = shard_of == si
+            local = ids[sel] - self._offsets[si]
+            out[sel] = self._maps[si][local]
+        return out
+
+
 class CorpusEncoder:
     """Drives a jitted encoder over batched corpus/query text.
 

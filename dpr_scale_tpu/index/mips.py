@@ -215,6 +215,7 @@ class MipsIndex:
         # through the host exact fallback. Reset by :meth:`search`; the
         # serving modes (int8/approx) have no verification and leave zeros.
         self.last_repair = {"block_fail_events": 0, "queries_repaired": 0}
+        self._repaired_queries: set = set()  # distinct per-search repairs
         # optional host exact-rerank tier for the lossy serving modes
         # (see set_rerank)
         self._rerank_rows = None
@@ -449,6 +450,7 @@ class MipsIndex:
         assert self.method == "int8"
         n_pad, d = q8_dev.shape
         assert q8_dev.dtype == jnp.int8 and scales_dev.shape == (n_pad,)
+        assert n_pad % (self.ndev * 128) == 0
         if self._dim is None:
             self._dim = d
         assert d == self._dim, "inconsistent embedding dim across blocks"
@@ -513,6 +515,10 @@ class MipsIndex:
         n_pad, dh = packed_dev.shape
         d = dh * 2
         assert packed_dev.dtype == jnp.int8 and scales_dev.shape == (n_pad,)
+        # same alignment contract as the host/quantized adders: an
+        # indivisible count would silently truncate rows_local = n//ndev
+        # in the search impl and misalign global ids
+        assert n_pad % (self.ndev * 128) == 0
         if self._dim is None:
             self._dim = d
         assert d == self._dim, "inconsistent embedding dim across blocks"
@@ -1458,10 +1464,13 @@ class MipsIndex:
             s, i, not_exact = fn(emb, queries, k, n)
             s, i = np.array(s), np.array(i)
             fail_idx = np.nonzero(np.asarray(not_exact))[0]
-            # per-block accounting: on the host-merge path a query failing
-            # in two blocks counts twice (these are repair EVENTS)
+            # per-block accounting: fail events count once per
+            # (query, block); queries_repaired stays DISTINCT queries via
+            # the per-search set (queries keep their batch index across
+            # blocks within one search)
             self.last_repair["block_fail_events"] += len(fail_idx)
-            self.last_repair["queries_repaired"] += len(fail_idx)
+            self._repaired_queries.update(int(x) for x in fail_idx)
+            self.last_repair["queries_repaired"] = len(self._repaired_queries)
             if len(fail_idx):  # rescue budget overflow: host exact fallback
                 se, ie = self._exact_fallback(emb, valid, queries, k, fail_idx)
                 s[fail_idx], i[fail_idx] = se, ie
@@ -1486,7 +1495,8 @@ class MipsIndex:
         found_gt = (s > tau_hi[:, None]).sum(axis=1)
         fail_idx = np.nonzero(cnt != found_gt)[0]
         self.last_repair["block_fail_events"] += len(fail_idx)
-        self.last_repair["queries_repaired"] += len(fail_idx)
+        self._repaired_queries.update(int(x) for x in fail_idx)
+        self.last_repair["queries_repaired"] = len(self._repaired_queries)
         if len(fail_idx):
             se, ie = self._exact_fallback(emb, valid, queries, k, fail_idx)
             s[fail_idx], i[fail_idx] = se, ie
@@ -1496,6 +1506,7 @@ class MipsIndex:
         """Global top-k over all added blocks. queries: (B, D) fp32."""
         assert self._blocks, "index is empty"
         self.last_repair = {"block_fail_events": 0, "queries_repaired": 0}
+        self._repaired_queries = set()
         if self._rerank_rows is not None and self.method in (
             "int8", "int4", "approx",
         ):

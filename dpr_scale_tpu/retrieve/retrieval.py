@@ -119,21 +119,26 @@ def retrieve(
     ``rerank_oversample`` (lossy methods int8/int4/approx only): attach a
     host exact-rerank tier over the original fp32 shard rows — the device
     sweep fetches ``rerank_oversample*k`` candidates and the host rescores
-    them exactly (MipsIndex.set_rerank). Costs one extra in-RAM fp32 copy
-    of the corpus."""
+    them exactly (MipsIndex.set_rerank). Rows come from a memmap over the
+    shards (ShardRowReader) — no in-RAM fp32 corpus copy."""
     if index is None:
         index = build_index(
             ctx_embeddings_dir, mesh, host_resident=host_resident, method=method,
             index_store=index_store, device_rows=device_rows,
         )
     if rerank_oversample:
-        if method not in ("int8", "int4", "approx"):
-            raise ValueError("rerank_oversample requires a lossy mips_method")
-        shards = load_embedding_shards(ctx_embeddings_dir)
-        rows = np.ascontiguousarray(
-            np.concatenate([e for _n, e in shards], axis=0), dtype=np.float32
+        # validate against the INDEX actually searched (a prebuilt index
+        # ignores the ``method`` argument entirely)
+        if index.method not in ("int8", "int4", "approx"):
+            raise ValueError(
+                "rerank_oversample requires a lossy mips_method "
+                f"(index.method={index.method!r})"
+            )
+        from dpr_scale_tpu.encode.embeddings import ShardRowReader
+
+        index.set_rerank(
+            ShardRowReader(ctx_embeddings_dir), oversample=int(rerank_oversample)
         )
-        index.set_rerank(lambda ids: rows[ids], oversample=int(rerank_oversample))
     # applies to prebuilt indexes too (multiset flows reuse one index
     # across query sets); None leaves a prebuilt index's setting alone.
     # A static jit arg, so mutation is safe.

@@ -99,6 +99,11 @@ class _CoalescingPipeline:
         self._search_q: _queue.Queue = _queue.Queue(maxsize=search_queue_depth)
         self._workers_started = False
         self._worker_lock = threading.Lock()
+        # serializes _search_group across the encode worker (serialized
+        # mode) and the search worker (pipelined mode): flipping
+        # ``serialized`` live (bench --ab) while a group is still queued
+        # must not interleave device searches across the phase boundary
+        self._search_group_lock = threading.Lock()
 
     # -- subclass surface ------------------------------------------------ #
 
@@ -178,6 +183,10 @@ class _CoalescingPipeline:
                 self._search_q.put((batch, payloads, k_s))
 
     def _search_group(self, batch, payloads, k_s):
+        with self._search_group_lock:
+            self._search_group_locked(batch, payloads, k_s)
+
+    def _search_group_locked(self, batch, payloads, k_s):
         try:
             all_s, all_r = [], []
             for payload, n_real in payloads:

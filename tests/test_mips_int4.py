@@ -280,3 +280,71 @@ def test_int4_retrieve_e2e_with_rerank(tmp_path):
         exact = queries[b] @ corpus.T
         assert int(ctxs[0]["id"]) == int(np.argmax(exact))
         np.testing.assert_allclose(ctxs[0]["score"], exact.max(), rtol=1e-5)
+
+
+def test_shard_row_reader_mixed_formats(tmp_path):
+    """ShardRowReader: global row ids -> fp32 rows across mixed .pkl/.npy
+    shards without loading the corpus in RAM; .pkl sidecars are built
+    once and reused while the pickle is unchanged."""
+    import pickle
+
+    from dpr_scale_tpu.encode.embeddings import ShardRowReader
+
+    rng = np.random.default_rng(49)
+    a = rng.normal(size=(100, 8)).astype(np.float32)
+    b = rng.normal(size=(60, 8)).astype(np.float32)
+    with open(tmp_path / "reps_0000.pkl", "wb") as f:
+        pickle.dump(a, f, protocol=4)
+    np.save(tmp_path / "reps_0001.npy", b)
+    full = np.concatenate([a, b], 0)
+    r = ShardRowReader(str(tmp_path))
+    assert r.num_rows == 160 and r.dim == 8
+    ids = np.array([0, 99, 100, 159, 5, 120], np.int64)
+    np.testing.assert_array_equal(r(ids), full[ids])
+    # sidecar reused (fingerprint match): second reader, same bytes
+    sidecar = tmp_path / "reps_0000.pkl.rerank.npy"
+    assert sidecar.exists()
+    mtime = sidecar.stat().st_mtime_ns
+    r2 = ShardRowReader(str(tmp_path))
+    np.testing.assert_array_equal(r2(ids), full[ids])
+    assert sidecar.stat().st_mtime_ns == mtime
+    # and the sidecar must not be picked up as a shard itself
+    assert r2.num_rows == 160
+
+
+def test_retrieve_rerank_validates_prebuilt_index_method(tmp_path):
+    """rerank_oversample checks the INDEX searched, not the method arg:
+    a prebuilt exact index raises; a prebuilt int4 index with the
+    default method='fused' arg attaches the tier (advisor r4)."""
+    import pickle
+
+    from dpr_scale_tpu.retrieve.retrieval import retrieve
+
+    rng = np.random.default_rng(50)
+    corpus = rng.normal(size=(256, 16)).astype(np.float32)
+    (tmp_path / "embs").mkdir()
+    with open(tmp_path / "embs" / "reps_0000.pkl", "wb") as f:
+        pickle.dump(corpus, f, protocol=4)
+    with open(tmp_path / "psgs.tsv", "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for rr in range(256):
+            f.write(f"{rr}\tpassage {rr}\tt{rr}\n")
+    mesh = get_mesh(8)
+    queries = corpus[:4]
+    qrows = [{"question": f"q{i}", "answers": []} for i in range(4)]
+    exact_idx = MipsIndex(mesh, method="fused")
+    exact_idx.add(corpus)
+    with pytest.raises(ValueError, match="lossy"):
+        retrieve(
+            queries, qrows, str(tmp_path / "psgs.tsv"),
+            str(tmp_path / "embs"), mesh, k=5, query_batch=4,
+            index=exact_idx, method="int4", rerank_oversample=4,
+        )
+    int4_idx = MipsIndex(mesh, method="int4")
+    int4_idx.add(corpus)
+    res = retrieve(
+        queries, qrows, str(tmp_path / "psgs.tsv"), str(tmp_path / "embs"),
+        mesh, k=5, query_batch=4, index=int4_idx, rerank_oversample=64,
+    )
+    for b, ctxs in enumerate(res):
+        assert int(ctxs[0]["id"]) == int(np.argmax(queries[b] @ corpus.T))
