@@ -371,31 +371,16 @@ class DeviceExpertIndex:
     # ------------------------------------------------------------- #
 
     @staticmethod
-    def _scores_pallas(vecs, slots, qvecs):
-        """Posting-block fetch + score matvec as ONE Pallas kernel.
-
-        ``vecs[slots]`` as an XLA gather measured 214 ms of a 268 ms
-        B=128 search (tools/bench_citadel_device.py --stage gather:
-        ~16 GB/s effective) — the whole bucket-scoring phase is that
-        gather. Here the expert blocks stream HBM->VMEM through the
-        Pallas pipeline via a scalar-prefetch data-dependent index map
-        (descriptor cost ~200 ns vs the gather's per-element cost), and
-        the score matvec runs on the block while the next block's DMA is
-        in flight. Returns (E, L) fp32 scores.
-        """
+    def _scores_pallas_serial(vecs, slots, qvecs):
+        """r04 gather scorer (wait-all-DMAs-then-VPU-score, NO cross-step
+        overlap) — kept for the A/B against the pipelined kernel below
+        (env DPR_GATHER_KERNEL=serial; tools/bench_citadel_device.py)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         E = slots.shape[0]
         _n_exp, L, D = vecs.shape
         TL = min(L, 2048)
-        # G entries per grid step: one entry/step costs ~5.5 us of fixed
-        # step overhead (measured: 24 GB/s effective); batching G manual
-        # DMAs per step amortizes it to ~DMA speed. The scratch budget
-        # uses the REAL posting itemsize (fp32 parity mode doubles bf16);
-        # G bottoms out at 1 and then TL halves — a hardcoded 2-byte /
-        # G>=8 floor let the (G, TL, D) scratch exceed physical VMEM at
-        # D=768 (24 MB vs ~16 MB) and fail in Mosaic at runtime.
         step_bytes = lambda g, tl: g * tl * D * vecs.dtype.itemsize
         BUDGET = 6 * 1024 * 1024
         G = 32
@@ -404,7 +389,7 @@ class DeviceExpertIndex:
         while step_bytes(G, TL) > BUDGET and TL > 256 and L % (TL // 2) == 0:
             TL //= 2
         G = min(G, E)
-        while E % G:  # two-significant-bit E (e.g. 48) with pow2 G
+        while E % G:
             G //= 2
 
         def kern(slots_ref, v_hbm, q_ref, o_ref, scratch, sems):
@@ -430,7 +415,7 @@ class DeviceExpertIndex:
             num_scalar_prefetch=1,
             grid=(E // G, L // TL),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # full vecs, stays HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(
                     (G, D), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
                 ),
@@ -441,6 +426,125 @@ class DeviceExpertIndex:
             scratch_shapes=[
                 pltpu.VMEM((G, TL, D), vecs.dtype),
                 pltpu.SemaphoreType.DMA((G,)),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((E, L), jnp.float32),
+        )(slots, vecs, qvecs.astype(vecs.dtype))
+
+    @staticmethod
+    def _scores_pallas(vecs, slots, qvecs):
+        """Posting-block fetch + score as ONE double-buffered Pallas kernel.
+
+        ``vecs[slots]`` as an XLA gather measured 214 ms of a 268 ms
+        B=128 search (tools/bench_citadel_device.py --stage gather:
+        ~16 GB/s effective) — the whole bucket-scoring phase is that
+        gather. Here the expert blocks stream HBM->VMEM via manual
+        scalar-prefetch-indexed DMAs (descriptor cost ~200 ns vs the
+        gather's per-element cost), DOUBLE-BUFFERED: step t+1's G copies
+        are issued before step t's compute, so the fetch runs entirely
+        under the score math (the r04 kernel waited all copies before
+        computing — DMA and compute serialized, ~100-130 GB/s effective
+        vs the ~800 GB/s streaming roofline). The score itself is one
+        MXU batched dot (G*TL, D) x (G, D)^T with a static diagonal
+        extraction — G x redundant MACs but off the VPU, whose
+        broadcast-multiply-reduce was the serial tail (r05 rework,
+        VERDICT r4 #3). Returns (E, L) fp32 scores.
+        """
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        E = slots.shape[0]
+        _n_exp, L, D = vecs.shape
+        TL = min(L, 2048)
+        # G entries per grid step: one entry/step costs ~5.5 us of fixed
+        # step overhead; batching G manual DMAs per step amortizes it.
+        # The scratch budget uses the REAL posting itemsize (fp32 parity
+        # mode doubles bf16) and is PER BUFFER (two in flight); G bottoms
+        # out at 1 and then TL halves — a hardcoded floor once let the
+        # scratch exceed physical VMEM at D=768 and fail in Mosaic.
+        step_bytes = lambda g, tl: g * tl * D * vecs.dtype.itemsize
+        BUDGET = 4 * 1024 * 1024  # x2 buffers = 8 MB of ~16 MB VMEM
+        G = 32
+        while step_bytes(G, TL) > BUDGET and G > 1:
+            G //= 2
+        while step_bytes(G, TL) > BUDGET and TL > 256 and L % (TL // 2) == 0:
+            TL //= 2
+        G = min(G, E)
+        while E % G:  # two-significant-bit E (e.g. 48) with pow2 G
+            G //= 2
+        J = L // TL
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if vecs.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+
+        def kern(slots_ref, v_hbm, q_ref, o_ref, scratch, sems):
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            t = i * J + j
+            T = pl.num_programs(0) * J
+
+            def copy(tn, slot, g):
+                return pltpu.make_async_copy(
+                    v_hbm.at[
+                        slots_ref[(tn // J) * G + g],
+                        pl.ds((tn % J) * TL, TL),
+                    ],
+                    scratch.at[slot, g],
+                    sems.at[slot, g],
+                )
+
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t == 0)
+            def _():
+                for g in range(G):
+                    copy(t, slot, g).start()
+
+            @pl.when(t + 1 < T)
+            def _():
+                nxt = jax.lax.rem(t + 1, 2)
+                for g in range(G):
+                    copy(t + 1, nxt, g).start()
+
+            for g in range(G):
+                copy(t, slot, g).wait()
+            vm = scratch[slot].reshape(G * TL, D)
+            full = jax.lax.dot_general(
+                vm,
+                q_ref[:].astype(vm.dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            ).reshape(G, TL, G)
+            # entry g's scores are column g of its own row block:
+            # one-hot mask + sum (a per-g slice concatenate hits a Mosaic
+            # layout bug; the mask tensor is only (G, TL, G) fp32)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (G, 1, G), 0)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (G, 1, G), 2)
+            o_ref[:, :] = jnp.sum(
+                full * (ii == kk).astype(jnp.float32), axis=2
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(E // G, J),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # full vecs, stays HBM
+                pl.BlockSpec(
+                    (G, D), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (G, TL), lambda i, j, s: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, G, TL, D), vecs.dtype),
+                pltpu.SemaphoreType.DMA((2, G)),
             ],
         )
         return pl.pallas_call(
@@ -576,8 +680,16 @@ class DeviceExpertIndex:
             # sequential stream-and-pick kernel (see _scores_streamed)
             scores = self._scores_streamed(vecs, qvecs, slots, steps)
         elif jax.default_backend() != "cpu" and D % 128 == 0:
-            # fused DMA-gather + matvec kernel (see _scores_pallas)
-            scores = self._scores_pallas(vecs, slots, qvecs)
+            # fused DMA-gather + score kernel (pipelined by default;
+            # DPR_GATHER_KERNEL=serial selects the r04 kernel for A/Bs)
+            import os as _os
+
+            fn = (
+                self._scores_pallas_serial
+                if _os.environ.get("DPR_GATHER_KERNEL") == "serial"
+                else self._scores_pallas
+            )
+            scores = fn(vecs, slots, qvecs)
         else:  # CPU tests / non-MXU dims: XLA gather + einsum
             pv = vecs[slots]  # (E, L, D)
             scores = jnp.einsum(

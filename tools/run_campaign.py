@@ -168,15 +168,29 @@ def children_of(pid: int):
         return []
 
 
+def last_logged_step(metrics_path: str) -> int:
+    last_step = -1
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # partial trailing line
+                if "train_loss" in rec:
+                    last_step = max(last_step, rec["step"])
+    return last_step
+
+
 class Killer(threading.Thread):
     """Polls the metrics JSONL; once a train_loss record crosses
     ``kill_at_step``, SIGKILLs the supervisor's child (the training
     process). Fires exactly once."""
 
-    def __init__(self, metrics_path: str, sup_pid: int, kill_at_step: int):
+    def __init__(self, metrics_path: str, sup_pid_fn, kill_at_step: int):
         super().__init__(daemon=True)
         self.metrics_path = metrics_path
-        self.sup_pid = sup_pid
+        self.sup_pid_fn = sup_pid_fn
         self.kill_at_step = kill_at_step
         self.killed_at_step = None
         self.kill_ts = None
@@ -186,18 +200,10 @@ class Killer(threading.Thread):
         while True:
             time.sleep(1.0)
             try:
-                last_step = -1
-                if os.path.exists(self.metrics_path):
-                    with open(self.metrics_path) as f:
-                        for line in f:
-                            try:
-                                rec = json.loads(line)
-                            except json.JSONDecodeError:
-                                continue  # partial trailing line
-                            if "train_loss" in rec:
-                                last_step = max(last_step, rec["step"])
+                last_step = last_logged_step(self.metrics_path)
+                sup_pid = self.sup_pid_fn()
                 if last_step >= self.kill_at_step:
-                    kids = children_of(self.sup_pid)
+                    kids = children_of(sup_pid)
                     if not kids:
                         self.error = "threshold crossed but supervisor has no child"
                         return
@@ -210,14 +216,75 @@ class Killer(threading.Thread):
                         flush=True,
                     )
                     return
-                if children_of(self.sup_pid) == [] and not os.path.exists(
-                    f"/proc/{self.sup_pid}"
+                if children_of(sup_pid) == [] and not os.path.exists(
+                    f"/proc/{sup_pid}"
                 ):
                     self.error = "supervisor exited before kill threshold"
                     return
             except Exception as e:  # pragma: no cover - diagnostics only
                 self.error = f"{type(e).__name__}: {e}"
                 return
+
+
+class SaveKiller(threading.Thread):
+    """Kill DURING an orbax checkpoint save (the failure mode the r04
+    campaign never exercised): once the step log crosses
+    ``arm_after_step``, snapshot the checkpoint dir and poll it at 25 ms;
+    the instant a NEW entry appears (orbax creates the step dir, then
+    writes array files, then the commit marker — a multi-second window
+    at bert_base size over this tunnel), SIGKILL the training process.
+    The restore then must cope with a partial step dir and/or a
+    mid-write ``last`` copy (train/checkpoint.py's .old fallback)."""
+
+    def __init__(self, metrics_path: str, ckpt_dir: str, sup_pid_fn,
+                 arm_after_step: int):
+        super().__init__(daemon=True)
+        self.metrics_path = metrics_path
+        self.ckpt_dir = ckpt_dir
+        self.sup_pid_fn = sup_pid_fn
+        self.arm_after_step = arm_after_step
+        self.killed_entry = None
+        self.kill_ts = None
+        self.error = None
+
+    def run(self):
+        try:
+            while last_logged_step(self.metrics_path) < self.arm_after_step:
+                time.sleep(1.0)
+                if not os.path.exists(f"/proc/{self.sup_pid_fn()}"):
+                    self.error = "supervisor exited before save-kill armed"
+                    return
+            baseline = set(os.listdir(self.ckpt_dir)) if os.path.isdir(
+                self.ckpt_dir
+            ) else set()
+            print(
+                f"[campaign] save-killer armed after step {self.arm_after_step} "
+                f"(baseline {sorted(baseline)})",
+                flush=True,
+            )
+            while True:
+                time.sleep(0.025)
+                if os.path.isdir(self.ckpt_dir):
+                    new = set(os.listdir(self.ckpt_dir)) - baseline
+                    if new:
+                        kids = children_of(self.sup_pid_fn())
+                        if not kids:
+                            self.error = "save began but supervisor has no child"
+                            return
+                        os.kill(kids[0], signal.SIGKILL)
+                        self.killed_entry = sorted(new)
+                        self.kill_ts = time.time()
+                        print(
+                            f"[campaign] SIGKILLed train pid {kids[0]} DURING "
+                            f"save of {sorted(new)}",
+                            flush=True,
+                        )
+                        return
+                if not os.path.exists(f"/proc/{self.sup_pid_fn()}"):
+                    self.error = "supervisor exited while save-kill armed"
+                    return
+        except Exception as e:  # pragma: no cover - diagnostics only
+            self.error = f"{type(e).__name__}: {e}"
 
 
 # --------------------------------------------------------------------- #
@@ -370,6 +437,31 @@ def main():
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--top-k", type=int, default=3)
     ap.add_argument("--kill-at-step", type=int, default=1400)
+    ap.add_argument(
+        "--kill-during-save-after", type=int, default=None,
+        help="arm a second killer that SIGKILLs the training process the "
+        "instant a NEW checkpoint entry appears after this step — i.e. "
+        "DURING an orbax save (must be later than kill-at-step and after "
+        "at least one completed save)",
+    )
+    ap.add_argument(
+        "--pause-at-step", type=int, default=None,
+        help="once the step log crosses this, SIGKILL supervisor+train "
+        "(simulated infrastructure death), run --pause-cmd, then REQUEUE "
+        "the same supervise command with --resume (the reference's "
+        "SLURM-requeue shape, conf/trainer/slurm.yaml:19-23)",
+    )
+    ap.add_argument(
+        "--pause-cmd", default=None,
+        help="command run while the campaign is paused (e.g. the on-TPU "
+        "validate gate: 'python tools/validate_tpu.py ...')",
+    )
+    ap.add_argument(
+        "--max-restore-gap-s", type=float, default=None,
+        help="assert every restore gap is under this bound — the "
+        "deep-in-epoch restore proof: a resume that re-collates (rather "
+        "than index-skips) thousands of batches blows straight past it",
+    )
     ap.add_argument("--budget-s", type=float, default=7200.0)
     ap.add_argument(
         "--fused-ffn",
@@ -465,14 +557,80 @@ def main():
     env = dict(os.environ)
     if args.force_platform:
         env["DPR_FORCE_PLATFORM"] = args.force_platform
+    if args.kill_during_save_after is not None:
+        assert args.kill_during_save_after > args.kill_at_step, (
+            "save-kill must arm after the step kill"
+        )
+        assert args.kill_during_save_after > args.eval_every, (
+            "save-kill must arm after >=1 completed save, or the restart "
+            "replays from scratch and the boundary proves nothing"
+        )
+    if args.pause_at_step is not None:
+        assert args.pause_at_step > (args.kill_during_save_after
+                                     or args.kill_at_step), (
+            "the pause/requeue must come after the kills"
+        )
     t_start = time.time()
     print(f"[campaign] launching: {' '.join(cmd)}", flush=True)
     sup = subprocess.Popen(cmd, cwd=REPO, env=env)
-    killer = Killer(metrics_path, sup.pid, args.kill_at_step)
+    sup_box = {"pid": sup.pid}
+    killer = Killer(metrics_path, lambda: sup_box["pid"], args.kill_at_step)
     killer.start()
+    save_killer = None
+    if args.kill_during_save_after is not None:
+        save_killer = SaveKiller(
+            metrics_path, ckpt_dir, lambda: sup_box["pid"],
+            args.kill_during_save_after,
+        )
+        save_killer.start()
+
+    pause_done = None
+    if args.pause_at_step is not None:
+        # simulated infrastructure death + requeue: wait for the step,
+        # kill supervisor THEN child, run the pause cmd, relaunch with
+        # --resume on the first attempt (the r04 manual-requeue shape)
+        deadline = t_start + args.budget_s
+        while last_logged_step(metrics_path) < args.pause_at_step:
+            if sup.poll() is not None:
+                raise SystemExit(
+                    f"[campaign] FAILED: supervisor exited "
+                    f"{sup.returncode} before the pause step"
+                )
+            if time.time() > deadline:
+                sup.kill()
+                raise SystemExit("[campaign] FAILED: budget exhausted (pause)")
+            time.sleep(2.0)
+        kids = children_of(sup.pid)
+        sup.send_signal(signal.SIGKILL)
+        for k in kids:
+            try:
+                os.kill(k, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+        sup.wait()
+        pause_t0 = time.time()
+        print(
+            f"[campaign] paused at step >={args.pause_at_step}: "
+            f"killed supervisor {sup.pid} + train {kids}", flush=True,
+        )
+        if args.pause_cmd:
+            print(f"[campaign] pause cmd: {args.pause_cmd}", flush=True)
+            rc = subprocess.run(
+                args.pause_cmd, shell=True, cwd=REPO, env=env
+            ).returncode
+            assert rc == 0, f"pause cmd exited {rc}"
+        requeue_cmd = cmd + ["--resume"]
+        print(f"[campaign] REQUEUE: {' '.join(requeue_cmd)}", flush=True)
+        sup = subprocess.Popen(requeue_cmd, cwd=REPO, env=env)
+        sup_box["pid"] = sup.pid
+        pause_done = {
+            "paused_after_step": args.pause_at_step,
+            "pause_cmd": args.pause_cmd,
+            "pause_wall_s": time.time() - pause_t0,
+        }
 
     try:
-        rc = sup.wait(timeout=args.budget_s)
+        rc = sup.wait(timeout=max(60.0, args.budget_s - (time.time() - t_start)))
     except subprocess.TimeoutExpired:
         sup.kill()
         raise SystemExit("[campaign] FAILED: budget exhausted")
@@ -480,8 +638,17 @@ def main():
     assert rc == 0, f"supervisor exited {rc}"
     assert killer.error is None, f"killer error: {killer.error}"
     assert killer.kill_ts is not None, "kill never fired"
+    if save_killer is not None:
+        assert save_killer.error is None, (
+            f"save-killer error: {save_killer.error}"
+        )
+        assert save_killer.kill_ts is not None, "save-kill never fired"
 
     report = analyze(metrics_path, args.log_every)
+    if save_killer is not None:
+        report["save_kill_entry"] = save_killer.killed_entry
+    if pause_done is not None:
+        report["pause"] = pause_done
     retained = check_rotation(ckpt_dir, report["evals"], args.top_k)
     assert report["first_step_after_restore"] <= killer.killed_at_step, (
         "restore jumped past the kill point"
@@ -505,6 +672,13 @@ def finish_and_write(args, report, retained, total_steps, steps_per_epoch,
     assert report["final_step"] == total_steps, (
         f"campaign ended at step {report['final_step']}, expected {total_steps}"
     )
+    if getattr(args, "max_restore_gap_s", None) is not None:
+        gaps = [b["restore_gap_s"] for b in report["boundaries"]]
+        assert max(gaps) < args.max_restore_gap_s, (
+            f"restore gap {max(gaps):.0f}s exceeds "
+            f"{args.max_restore_gap_s}s — a deep-in-epoch resume that "
+            f"re-collates instead of index-skipping shows up exactly here"
+        )
     if not args.no_learning_check:
         mrrs = [e["mrr"] for e in report["evals"]]
         assert mrrs[-1] > mrrs[0] and report["loss_final"] < report["loss_first"], (

@@ -1,0 +1,432 @@
+#!/usr/bin/env python3
+"""North-star protocol through the PRODUCT CLIs on real text with trained
+weights (VERDICT r4 task #1).
+
+The reference protocol is ``generate_embeddings`` over psgs_w100.tsv ->
+``run_retrieval`` -> eval (reference run_retrieval.py:48-57,97, shard
+emission dpr_eval_task.py:40-49, eval README.md:118-124). Every prior
+21M-class number here came from bench harnesses over device-synthesized
+embeddings; THIS harness runs the actual product surface end to end:
+
+  1. gen      — synthesize an MS MARCO-scale real-text corpus TSV
+                (``id\\ttext\\ttitle`` with header), train/dev query sets,
+                qrels; build a local WordPiece tokenizer (zero-egress env).
+                Each passage carries a UNIQUE marker token, so QA-style
+                answer matching (eval_dpr) measures exact source-passage
+                recall.
+  2. train    — ``cli.train`` on the jsonl (real datamodule + transform +
+                checkpointing) -> params_best export.
+  3. encode   — ``cli.generate_embeddings`` x N contiguous shards
+                (the real pickle/npy + manifest path).
+  4. queries  — ``cli.generate_query_embeddings`` -> query_reps.pkl.
+  5. retrieve — ``cli.run_retrieval`` per serving mode: fused (exact),
+                approx, int8, int4, int4+exact-rerank -> DPR JSON + TREC.
+  6. eval     — eval/qa_eval.py top-k accuracy per mode, eval/msmarco.py
+                MRR@10 + TREC metrics vs qrels, recall@100 of each lossy
+                mode vs the fused exact run.
+
+Stages are resumable: completed stages are recorded in
+``<workdir>/state.json`` and skipped on re-run (the TPU tunnel can die
+mid-protocol). Artifact: docs/E2E_r05.json.
+
+Usage:
+    python tools/run_e2e_protocol.py [--rows 8841823] [--queries 8192]
+        [--train-examples 262144] [--shards 4] [--workdir /root/e2e_r05]
+        [--modes fused,approx,int8,int4,int4_rerank] [--stop-after STAGE]
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+CONTENT_VOCAB = 28_000
+BAG_WORDS = 24  # per-passage topic bag (the campaign's learnable shape)
+BODY_WORDS = 48
+QUERY_WORDS = 8
+CTX_LEN = 64  # 48 body words + marker + CLS/SEP fit; single-token words
+
+
+# ------------------------------------------------------------------ #
+# vocabulary / text
+
+def build_words(n: int) -> list:
+    """Deterministic pronounceable words: 2- then 3-syllable CV combos.
+    Pure letters (markers are the only alnum-with-digit tokens)."""
+    cons = "bcdfghjklmnprstvwyz"  # 19
+    vows = "aeiou"
+    syl = [c + v for c in cons for v in vows]  # 95
+    words = ["".join(p) for p in itertools.product(syl, repeat=2)]  # 9025
+    rng = np.random.default_rng(7)
+    tri = rng.integers(0, len(syl), size=(n, 3))
+    for a, b, c in tri:
+        words.append(syl[a] + syl[b] + syl[c])
+        if len(words) >= n:
+            break
+    # dedup preserving order (tri can collide), top up deterministically
+    seen = set()
+    out = []
+    for w in words:
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    it = itertools.product(syl, repeat=3)
+    while len(out) < n:
+        w = "".join(next(it))
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return out[:n]
+
+
+def marker(pid: int) -> str:
+    return f"x{pid:08d}"
+
+
+def word_ids_for_chunk(rng, n_rows: int):
+    """Per-passage topic structure (the ICT shape the reference preps
+    emit, prep_wiki.py:44-125, and the campaign fixture proved learnable
+    at bert_base): each passage draws a BAG of topic words (power-law
+    over the vocab so common words exist), the body samples the bag WITH
+    repetition, the query is an independent bag sample. Returns
+    (body_ids (n, BODY_WORDS), query_ids (n, QUERY_WORDS))."""
+    u = rng.random((n_rows, BAG_WORDS))
+    bags = (CONTENT_VOCAB * u**2.2).astype(np.int64).clip(0, CONTENT_VOCAB - 1)
+    body_sel = rng.integers(0, BAG_WORDS, size=(n_rows, BODY_WORDS))
+    query_sel = rng.integers(0, BAG_WORDS, size=(n_rows, QUERY_WORDS))
+    return (
+        np.take_along_axis(bags, body_sel, axis=1),
+        np.take_along_axis(bags, query_sel, axis=1),
+    )
+
+
+# ------------------------------------------------------------------ #
+# stage framework
+
+class Protocol:
+    def __init__(self, args):
+        self.args = args
+        self.wd = pathlib.Path(args.workdir)
+        self.wd.mkdir(parents=True, exist_ok=True)
+        self.state_path = self.wd / "state.json"
+        self.state = (
+            json.loads(self.state_path.read_text())
+            if self.state_path.exists()
+            else {"stages": {}, "config": vars(args)}
+        )
+
+    def save(self):
+        self.state_path.write_text(json.dumps(self.state, indent=1))
+
+    def run_stage(self, name: str, fn):
+        if name in self.state["stages"]:
+            print(f"[e2e] stage {name}: done ({self.state['stages'][name].get('wall_s', 0):.0f}s), skip")
+            return
+        print(f"[e2e] stage {name}: start", flush=True)
+        t0 = time.time()
+        extra = fn() or {}
+        rec = {"wall_s": time.time() - t0, **extra}
+        self.state["stages"][name] = rec
+        self.save()
+        print(f"[e2e] stage {name}: done in {rec['wall_s']:.0f}s", flush=True)
+
+    def cli(self, module: str, *cli_args) -> float:
+        cmd = [sys.executable, "-m", module, *[str(a) for a in cli_args],
+               *self.args.override]
+        print("[e2e] RUN", " ".join(cmd), flush=True)
+        t0 = time.time()
+        subprocess.run(cmd, check=True, cwd=REPO)
+        return time.time() - t0
+
+
+# ------------------------------------------------------------------ #
+# stage 1: data generation
+
+def stage_gen(p: Protocol):
+    a = p.args
+    wd = p.wd
+    words = build_words(CONTENT_VOCAB)
+    words_np = np.asarray(words)
+
+    # tokenizer dir: specials + content words (markers tokenize to [UNK],
+    # carrying no embedding signal — they exist for answer matching only)
+    tok_dir = wd / "tok"
+    tok_dir.mkdir(exist_ok=True)
+    with open(tok_dir / "vocab.txt", "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words))
+    from transformers import BertTokenizerFast
+
+    BertTokenizerFast(vocab_file=str(tok_dir / "vocab.txt")).save_pretrained(
+        str(tok_dir)
+    )
+
+    rng = np.random.default_rng(11)
+    n_train, n_dev = a.train_examples, a.queries
+    train_pos = np.sort(rng.choice(a.rows, size=n_train, replace=False))
+    dev_pos = np.sort(rng.choice(a.rows, size=n_dev, replace=False))
+    train_set = {int(x): i for i, x in enumerate(train_pos)}
+    dev_set = {int(x): i for i, x in enumerate(dev_pos)}
+
+    train_rows = [None] * n_train  # (query_text, pos_text, title)
+    dev_rows = [None] * n_dev  # (query_text, pid)
+
+    chunk = 200_000
+    t0 = time.time()
+    with open(wd / "corpus.tsv", "w") as f:
+        f.write("id\ttext\ttitle\n")
+        for lo in range(0, a.rows, chunk):
+            hi = min(lo + chunk, a.rows)
+            crng = np.random.default_rng(100 + lo)  # per-chunk, resumable
+            body_ids, query_ids = word_ids_for_chunk(crng, hi - lo)
+            wmat = words_np[body_ids]  # (n, BODY) unicode
+            qmat = words_np[query_ids]  # (n, QUERY) unicode
+            mpos = crng.integers(0, BODY_WORDS + 1, size=hi - lo)
+            tids = crng.integers(0, CONTENT_VOCAB, size=(hi - lo, 2))
+            for r in range(hi - lo):
+                pid = lo + r
+                body = wmat[r].tolist()
+                body.insert(int(mpos[r]), marker(pid))
+                text = " ".join(body)
+                title = f"{words[tids[r, 0]]} {words[tids[r, 1]]}"
+                f.write(f"{pid}\t{text}\t{title}\n")
+                ti = train_set.get(pid)
+                if ti is not None:
+                    train_rows[ti] = (" ".join(qmat[r].tolist()), text, title)
+                di = dev_set.get(pid)
+                if di is not None:
+                    dev_rows[di] = (" ".join(qmat[r].tolist()), pid)
+            if (lo // chunk) % 5 == 0:
+                rate = hi / max(time.time() - t0, 1e-9)
+                print(f"[e2e] corpus {hi}/{a.rows} ({rate:.0f} rows/s)", flush=True)
+
+    # train/val jsonl: hard negative = another train positive's passage
+    nrng = np.random.default_rng(12)
+    neg_of = nrng.permutation(n_train)
+    neg_of = np.where(neg_of == np.arange(n_train), (neg_of + 1) % n_train, neg_of)
+    n_val = max(1024, n_train // 50)
+    with open(wd / "train.jsonl", "w") as ftr, open(wd / "val.jsonl", "w") as fva:
+        for i, (q, text, title) in enumerate(train_rows):
+            _, ntext, ntitle = train_rows[int(neg_of[i])]
+            row = {
+                "question": q,
+                "answers": [],
+                "positive_ctxs": [{"text": text, "title": title}],
+                "hard_negative_ctxs": [{"text": ntext, "title": ntitle}],
+            }
+            (fva if i < n_val else ftr).write(json.dumps(row) + "\n")
+
+    # dev queries CSV (question \t answers-list) + qrels (qid 0 pid 1);
+    # qids are row indices (the TREC writer's default for CSV queries)
+    with open(wd / "dev.csv", "w") as f, open(wd / "qrels.tsv", "w") as fq:
+        for i, (q, pid) in enumerate(dev_rows):
+            f.write(f"{q}\t{[marker(pid)]!r}\n")
+            fq.write(f"{i}\t0\t{pid}\t1\n")
+    return {"rows": a.rows, "train_examples": n_train, "dev_queries": n_dev}
+
+
+# ------------------------------------------------------------------ #
+
+def stage_train(p: Protocol):
+    a, wd = p.args, p.wd
+    wall = p.cli(
+        "dpr_scale_tpu.cli.train",
+        "--config", "conf/msmarco.yaml",
+        f"task.transform.model_path={wd}/tok",
+        f"task.transform.max_seq_len={CTX_LEN}",
+        "task.model.fused_attention=true",
+        "task.warmup_steps=200",
+        "task.optim.lr=1.0e-4",
+        f"datamodule.train_path={wd}/train.jsonl",
+        f"datamodule.val_path={wd}/val.jsonl",
+        "datamodule.batch_size=128",
+        "datamodule.num_negative=1",
+        "datamodule.num_val_negative=1",
+        "datamodule.query_max_seq_len=16",
+        f"trainer.max_epochs={a.train_epochs}",
+        "trainer.log_every=50",
+        f"checkpoint_callback.dirpath={wd}/ckpt",
+    )
+    assert (wd / "ckpt" / "params_best").exists()
+    steps = a.train_epochs * (a.train_examples - max(1024, a.train_examples // 50)) // 128
+    return {"cli_wall_s": wall, "approx_steps": steps}
+
+
+def stage_encode(p: Protocol):
+    a, wd = p.args, p.wd
+    shard_walls = []
+    for s in range(a.shards):
+        key = f"encode_shard_{s}"
+        if key in p.state["stages"]:
+            shard_walls.append(p.state["stages"][key]["wall_s"])
+            continue
+        wall = p.cli(
+            "dpr_scale_tpu.cli.generate_embeddings",
+            "--config", "conf/msmarco.yaml",
+            f"task.transform.model_path={wd}/tok",
+            f"task.transform.max_seq_len={CTX_LEN}",
+            f"task.checkpoint_path={wd}/ckpt/params_best",
+            f"task.ctx_embeddings_dir={wd}/embs",
+            "task.embeddings_format=npy",
+            f"task.shard={s}",
+            f"task.num_shards={a.shards}",
+            f"datamodule.passages_path={wd}/corpus.tsv",
+            "datamodule.encode_batch_size=512",
+            "datamodule.use_title=false",
+        )
+        p.state["stages"][key] = {"wall_s": wall}
+        p.save()
+        shard_walls.append(wall)
+    total = sum(shard_walls)
+    rate = a.rows / total
+    return {
+        "shard_walls_s": shard_walls,
+        "psgs_per_s": rate,
+        "chip_hours_21m": 20_970_000 / rate / 3600.0,
+    }
+
+
+def stage_queries(p: Protocol):
+    a, wd = p.args, p.wd
+    wall = p.cli(
+        "dpr_scale_tpu.cli.generate_query_embeddings",
+        "--config", "conf/msmarco.yaml",
+        f"task.transform.model_path={wd}/tok",
+        f"task.transform.max_seq_len={CTX_LEN}",
+        f"task.checkpoint_path={wd}/ckpt/params_best",
+        f"task.ctx_embeddings_dir={wd}/embs",
+        f"datamodule.test_path={wd}/dev.csv",
+        "datamodule.encode_batch_size=512",
+    )
+    return {"cli_wall_s": wall}
+
+
+MODES = {
+    # mode -> (mips_method, extra overrides)
+    "fused": ("fused", []),
+    "approx": ("approx", []),
+    "int8": ("int8", []),
+    "int4": ("int4", []),
+    "int4_rerank": ("int4", ["task.rerank_oversample=4"]),
+}
+
+
+def stage_retrieve(p: Protocol, mode: str):
+    a, wd = p.args, p.wd
+    method, extra = MODES[mode]
+    wall = p.cli(
+        "dpr_scale_tpu.cli.run_retrieval",
+        "--config", "conf/msmarco.yaml",
+        f"task.transform.model_path={wd}/tok",
+        f"task.transform.max_seq_len={CTX_LEN}",
+        f"task.ctx_embeddings_dir={wd}/embs",
+        f"task.mips_method={method}",
+        "task.topk=100",
+        f"task.output_path={wd}/out_{mode}.json",
+        f"task.output_trec_path={wd}/out_{mode}.trec",
+        f"datamodule.test_path={wd}/dev.csv",
+        f"datamodule.passages_path={wd}/corpus.tsv",
+        *extra,
+    )
+    return {"cli_wall_s": wall}
+
+
+# ------------------------------------------------------------------ #
+# evaluation
+
+def trec_top(path: str, k: int = 100):
+    out = {}
+    with open(path) as f:
+        for line in f:
+            qid, _, pid, rank, _s, _r = line.split()
+            if int(rank) <= k:
+                out.setdefault(qid, []).append(pid)
+    return out
+
+
+def stage_eval(p: Protocol):
+    a, wd = p.args, p.wd
+    from dpr_scale_tpu.eval.msmarco import compute_metrics_from_files
+    from dpr_scale_tpu.eval.qa_eval import evaluate_retrieval
+
+    modes = [m for m in a.modes.split(",") if m]
+    results = {}
+    fused100 = trec_top(str(wd / "out_fused.trec")) if "fused" in modes else None
+    for mode in modes:
+        rec = {}
+        # MS MARCO protocol: MRR@10 + TREC metrics vs qrels
+        rec["msmarco"] = compute_metrics_from_files(
+            str(wd / "qrels.tsv"), str(wd / f"out_{mode}.trec"),
+            perform_checks=False,
+        )
+        # QA protocol: answer-marker top-k accuracy (exact source-passage
+        # recall, markers unique per passage)
+        acc = evaluate_retrieval(str(wd / f"out_{mode}.json"), [1, 5, 10, 20, 100])
+        rec["qa_topk_accuracy"] = {k: float(np.mean(v)) for k, v in acc.items()}
+        # recall@100 vs the exact fused run
+        if fused100 is not None and mode != "fused":
+            overlaps = [
+                len(set(pids) & set(fused100.get(qid, []))) / max(len(fused100.get(qid, [])), 1)
+                for qid, pids in trec_top(str(wd / f"out_{mode}.trec")).items()
+            ]
+            rec["recall_at_100_vs_exact"] = float(np.mean(overlaps))
+        results[mode] = rec
+        print(f"[e2e] {mode}: {json.dumps(rec)[:400]}", flush=True)
+    return {"modes": results}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--rows", type=int, default=8_841_823)  # MS MARCO passage count
+    ap.add_argument("--queries", type=int, default=8192)
+    ap.add_argument("--train-examples", type=int, default=262_144)
+    ap.add_argument("--train-epochs", type=int, default=1)
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--workdir", default="/root/e2e_r05")
+    ap.add_argument("--modes", default="fused,approx,int8,int4,int4_rerank")
+    ap.add_argument("--stop-after", default=None)
+    ap.add_argument(
+        "--override", action="append", default=[],
+        help="extra config override appended to EVERY CLI call "
+        "(repeatable; e.g. task.model.arch=tiny for CPU smokes)",
+    )
+    ap.add_argument("--artifact", default=os.path.join(REPO, "docs", "E2E_r05.json"))
+    args = ap.parse_args()
+
+    p = Protocol(args)
+    stages = [("gen", lambda: stage_gen(p)), ("train", lambda: stage_train(p)),
+              ("encode", lambda: stage_encode(p)), ("queries", lambda: stage_queries(p))]
+    for mode in args.modes.split(","):
+        stages.append((f"retrieve_{mode}", lambda m=mode: stage_retrieve(p, m)))
+    stages.append(("eval", lambda: stage_eval(p)))
+
+    for name, fn in stages:
+        p.run_stage(name, fn)
+        if args.stop_after == name:
+            print(f"[e2e] stopping after {name}")
+            return
+
+    artifact = {
+        "protocol": "generate_embeddings -> run_retrieval -> eval through "
+                    "the product CLIs on real text with trained weights "
+                    "(reference run_retrieval.py:48-57,97; dpr_eval_task.py:40-49)",
+        "config": vars(args),
+        "stages": p.state["stages"],
+    }
+    os.makedirs(os.path.dirname(args.artifact), exist_ok=True)
+    with open(args.artifact, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"[e2e] wrote {args.artifact}")
+
+
+if __name__ == "__main__":
+    main()
