@@ -283,15 +283,17 @@ def main():
             results,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": f"lossy_recall_trained_{args.rows}rows",
-                "unit": "recall@100 vs exact",
-                **results,
-            }
-        )
-    )
+    result = {
+        "metric": f"lossy_recall_trained_{args.rows}rows",
+        "unit": "recall@100 vs exact",
+        **results,
+    }
+    print(json.dumps(result))
+    out_path = os.environ.get("LOSSY_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
