@@ -143,6 +143,7 @@ def main():
         ("bert_base", 256, [128, 256, 512], [4, 8, 16]),
         ("bert_base", 128, [256, 512, 1024], [4, 8, 16]),
         ("bert_large", 128, [64, 128, 256], [4, 8, 16]),
+        ("bert_large", 256, [32, 64, 128], [4, 8, 16]),
     ]
     if args.quick:
         configs = configs[:1]

@@ -279,6 +279,7 @@ def stage_encode(p: Protocol):
             "--config", "conf/msmarco.yaml",
             f"task.transform.model_path={wd}/tok",
             f"task.transform.max_seq_len={CTX_LEN}",
+            "task.shared_model=true",  # matches the trained checkpoint
             f"task.checkpoint_path={wd}/ckpt/params_best",
             f"task.ctx_embeddings_dir={wd}/embs",
             "task.embeddings_format=npy",
@@ -307,6 +308,7 @@ def stage_queries(p: Protocol):
         "--config", "conf/msmarco.yaml",
         f"task.transform.model_path={wd}/tok",
         f"task.transform.max_seq_len={CTX_LEN}",
+        "task.shared_model=true",  # matches the trained checkpoint
         f"task.checkpoint_path={wd}/ckpt/params_best",
         f"task.ctx_embeddings_dir={wd}/embs",
         f"datamodule.test_path={wd}/dev.csv",
