@@ -109,7 +109,12 @@ def main(argv=None):
         encoder = CorpusEncoder.from_exported(exported, task.mesh)
         print(f"Using exported encoder from {exported}")
     else:
-        encoder = CorpusEncoder(task.model, params, task.mesh)
+        # float16 halves the device->host transfer + shard bytes; all
+        # shard readers upcast (task.embeddings_dtype, default float32)
+        out_dtype = {"float32": "float32", "float16": "float16"}[
+            cfg.task.get("embeddings_dtype", "float32")
+        ]
+        encoder = CorpusEncoder(task.model, params, task.mesh, out_dtype=out_dtype)
     rows = contiguous_shard(len(dm), shard, num_shards)
     path = encoder.encode_to_dir(
         dm.batches(shard, num_shards),

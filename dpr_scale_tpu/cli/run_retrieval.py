@@ -78,6 +78,10 @@ def main(argv=None):
         output_json_path=cfg.task.get("output_path"),
         output_trec_path=cfg.task.get("output_trec_path"),
         ignore_identical_ids=cfg.task.get("ignore_identical_ids", False),
+        # host-resident blocks re-upload PER SWEEP: over a slow host link
+        # one big sweep (query_batch >= num queries) pays the corpus
+        # upload once instead of once per 512 queries
+        query_batch=cfg.task.get("query_batch", 512),
         host_resident=cfg.task.get("host_resident_index", False),
         method=cfg.task.get("mips_method", "fused"),
         int8_query_planes=cfg.task.get("int8_query_planes"),

@@ -153,21 +153,38 @@ class CorpusEncoder:
     device step before fetching the previous result.
     """
 
-    def __init__(self, model, params, mesh, use_query_tower: bool = False):
+    def __init__(
+        self,
+        model,
+        params,
+        mesh,
+        use_query_tower: bool = False,
+        out_dtype=np.float32,
+    ):
+        """``out_dtype=np.float16`` casts embeddings ON DEVICE before the
+        fetch — halves the device->host bytes (the dominant cost of corpus
+        encoding over a slow host link) and the shard disk footprint; every
+        shard consumer (MipsIndex.add, ShardRowReader, SPAR combination)
+        upcasts to fp32 on read."""
         self.mesh = mesh
         self.params = params
+        self.out_dtype = np.dtype(out_dtype)
         if model is None:
             return  # from_exported fills _encode
         method = "encode_query" if use_query_tower else "encode_context"
+        half = self.out_dtype == np.float16
 
         def encode(params, input_ids, attention_mask):
-            return model.apply(
+            emb = model.apply(
                 {"params": params},
                 input_ids,
                 attention_mask,
                 deterministic=True,
                 method=getattr(model, method),
             )
+            import jax.numpy as jnp
+
+            return emb.astype(jnp.float16) if half else emb
 
         self._encode = jax.jit(encode)
 
@@ -197,7 +214,7 @@ class CorpusEncoder:
 
         def drain(f):
             emb, pad, bids = f
-            emb = np.asarray(emb, dtype=np.float32)
+            emb = np.asarray(emb, dtype=self.out_dtype)
             n = emb.shape[0] - int(pad)
             out.append(emb[:n])
             if bids is not None:

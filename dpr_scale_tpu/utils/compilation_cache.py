@@ -13,6 +13,15 @@ def enable_compilation_cache(path: str = "/tmp/jax_comp_cache") -> None:
 
     import jax
 
+    # escape hatch for CPU smoke runs / sweep subprocesses in environments
+    # whose sitecustomize pre-selects an accelerator platform (the plain
+    # JAX_PLATFORMS env var is consumed before we run; the live config
+    # still wins as long as no computation has executed). Every CLI calls
+    # this helper first, so the protocol harnesses can drive ANY entry
+    # point on CPU, not just cli.train.
+    if os.environ.get("DPR_FORCE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["DPR_FORCE_PLATFORM"])
+
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -348,3 +348,66 @@ def test_retrieve_rerank_validates_prebuilt_index_method(tmp_path):
     )
     for b, ctxs in enumerate(res):
         assert int(ctxs[0]["id"]) == int(np.argmax(queries[b] @ corpus.T))
+
+
+def test_fp16_shards_flow_through_encoder_reader_and_index(tmp_path):
+    """embeddings_dtype=float16: CorpusEncoder casts ON DEVICE (half the
+    fetch bytes over a slow host link), writes fp16 .npy shards, and every
+    consumer upcasts — ShardRowReader returns fp32 rows, MipsIndex.add
+    accepts fp16 blocks with results matching the fp32-shard build to
+    fp16 resolution."""
+    from dpr_scale_tpu.encode.embeddings import CorpusEncoder, ShardRowReader
+
+    mesh = get_mesh(8)
+
+    class _IdModel:
+        """encode_context == row-normalized slice of the ids (stand-in
+        encoder: deterministic, dtype-exercising)."""
+
+        def apply(self, variables, input_ids, attention_mask, **kw):
+            import jax.numpy as jnp
+
+            x = input_ids.astype(jnp.float32)
+            return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+        def encode_context(self):  # method=getattr target
+            pass
+
+    enc = CorpusEncoder(_IdModel(), {}, mesh, out_dtype=np.float16)
+    rng = np.random.default_rng(3)
+    toks = rng.integers(1, 100, size=(64, 16)).astype(np.int32)
+
+    def batches():
+        for lo in range(0, 64, 16):
+            yield {
+                "input_ids": toks[lo : lo + 16],
+                "attention_mask": np.ones((16, 16), np.int32),
+                "pad_count": 0,
+            }
+
+    emb, _ = enc.encode_batches(batches())
+    assert emb.dtype == np.float16 and emb.shape == (64, 16)
+    ref = toks.astype(np.float32)
+    ref /= np.linalg.norm(ref, axis=-1, keepdims=True)
+    np.testing.assert_allclose(emb.astype(np.float32), ref, atol=2e-3)
+
+    out = tmp_path / "embs"
+    enc.encode_to_dir(batches(), str(out), shard_id=0, fmt="npy")
+    # reader upcasts fp16 mmap rows to fp32
+    r = ShardRowReader(str(out))
+    rows = r(np.array([0, 63], np.int64))
+    assert rows.dtype == np.float32
+    np.testing.assert_allclose(rows, ref[[0, 63]], atol=2e-3)
+    # index build from fp16 shards matches the fp32 build bit-for-bit
+    # after the fp16 storage rounding (both paths go through bf16)
+    from dpr_scale_tpu.index import MipsIndex
+
+    idx16 = MipsIndex(mesh, method="fused")
+    idx16.add(np.load(out / "reps_0000.npy"))
+    idx32 = MipsIndex(mesh, method="fused")
+    idx32.add(ref.astype(np.float16).astype(np.float32))
+    q = ref[:4]
+    s16, i16 = idx16.search(q, 5)
+    s32, i32 = idx32.search(q, 5)
+    np.testing.assert_array_equal(i16, i32)
+    np.testing.assert_allclose(s16, s32, rtol=1e-6)

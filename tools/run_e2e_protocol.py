@@ -283,6 +283,9 @@ def stage_encode(p: Protocol):
             f"task.checkpoint_path={wd}/ckpt/params_best",
             f"task.ctx_embeddings_dir={wd}/embs",
             "task.embeddings_format=npy",
+            # fp16 halves the device->host fetch (the dominant encode cost
+            # over the tunnel) and the shard disk bytes; readers upcast
+            "task.embeddings_dtype=float16",
             f"task.shard={s}",
             f"task.num_shards={a.shards}",
             f"datamodule.passages_path={wd}/corpus.tsv",
@@ -330,6 +333,15 @@ MODES = {
 def stage_retrieve(p: Protocol, mode: str):
     a, wd = p.args, p.wd
     method, extra = MODES[mode]
+    extra = list(extra)
+    if method in ("fused", "approx") and a.rows > 6_000_000:
+        # a bf16 corpus this size exceeds one chip's HBM: stream blocks
+        # host-resident, and run ALL queries as ONE sweep so the corpus
+        # upload is paid once (host-resident re-uploads per sweep)
+        extra += [
+            "task.host_resident_index=true",
+            f"task.query_batch={a.queries}",
+        ]
     wall = p.cli(
         "dpr_scale_tpu.cli.run_retrieval",
         "--config", "conf/msmarco.yaml",
@@ -399,7 +411,9 @@ def main():
     ap.add_argument("--train-epochs", type=int, default=2)
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--workdir", default="/root/e2e_r05")
-    ap.add_argument("--modes", default="fused,approx,int8,int4,int4_rerank")
+    # approx (bf16) costs the same >HBM streaming upload as fused at
+    # north-star scale for a strictly-worse point — opt in via --modes
+    ap.add_argument("--modes", default="fused,int8,int4,int4_rerank")
     ap.add_argument("--stop-after", default=None)
     ap.add_argument(
         "--override", action="append", default=[],
