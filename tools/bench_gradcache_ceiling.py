@@ -134,6 +134,17 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="docs/GRADCACHE_CEILING_r04.json")
     ap.add_argument("--quick", action="store_true", help="bert_base c256 only")
+    ap.add_argument(
+        "--configs", default=None,
+        help="comma list of arch_cCLEN keys to sweep (e.g. "
+        "'bert_base_c128,bert_large_c256') — each probe pays a "
+        "multi-minute novel-shape compile, so select cells to budget",
+    )
+    ap.add_argument(
+        "--merge-from", default=None,
+        help="preload results from a prior artifact (grids not re-swept "
+        "here are carried over, e.g. r04's bert_base_c256)",
+    )
     args = ap.parse_args()
 
     def log(msg):
@@ -147,8 +158,17 @@ def main():
     ]
     if args.quick:
         configs = configs[:1]
+    if args.configs:
+        want = set(args.configs.split(","))
+        configs = [c for c in configs if f"{c[0]}_c{c[1]}" in want]
+        missing = want - {f"{c[0]}_c{c[1]}" for c in configs}
+        assert not missing, f"unknown --configs keys: {sorted(missing)}"
 
     out = {"chip": "v5e-1 (16G HBM)", "fused_attention": True, "results": {}}
+    if args.merge_from and os.path.exists(args.merge_from):
+        prior = json.load(open(args.merge_from))
+        out["results"].update(prior.get("results", {}))
+        out["merged_from"] = args.merge_from
     for arch, clen, batches, chunks in configs:
         rows, mono, gc = sweep(arch, clen, batches, chunks, log)
         out["results"][f"{arch}_c{clen}"] = {
