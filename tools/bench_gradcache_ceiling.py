@@ -169,6 +169,7 @@ def main():
         prior = json.load(open(args.merge_from))
         out["results"].update(prior.get("results", {}))
         out["merged_from"] = args.merge_from
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     for arch, clen, batches, chunks in configs:
         rows, mono, gc = sweep(arch, clen, batches, chunks, log)
         out["results"][f"{arch}_c{clen}"] = {
@@ -176,11 +177,10 @@ def main():
             "monolithic_ceiling": mono,
             "gradcache_ceiling": gc,
         }
-
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
-    log(f"wrote {args.out}")
+        # incremental write: a budget timeout keeps the completed grids
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        log(f"wrote {args.out} ({len(out['results'])} grids)")
 
     # markdown table for STATUS.md
     print("\n| model | ctx len | B | monolithic | gradcache (chunks) |")
