@@ -98,6 +98,7 @@ def main(argv=None):
             mode=ckpt_cfg.get("mode", "max"),
             save_top_k=ckpt_cfg.get("save_top_k", 3),
             save_last=ckpt_cfg.get("save_last", True),
+            async_save=ckpt_cfg.get("async_save", False),
         )
 
     logger = MetricLogger(

@@ -171,6 +171,57 @@ def test_checkpoint_last_survives_topk_eviction(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_async_save_matches_sync(tmp_path):
+    """async_save=True must produce the same rotation/best/last semantics
+    as the synchronous path, survive buffer donation (it snapshots the
+    state on device before the caller's arrays are invalidated), and
+    surface worker failures at the next barrier."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpr_scale_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(
+        str(tmp_path / "ckpt"), monitor="mrr", save_top_k=2, async_save=True
+    )
+
+    @jax.jit
+    def bump(s):  # donation stand-in: overwrite the caller's tree
+        return {"w": s["w"] + 1, "step": s["step"] + 1}
+
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(0)}
+    for step, mrr in [(1, 0.3), (2, 0.9), (3, 0.5)]:
+        state = bump(state)
+        mgr.save(step, state, {"mrr": mrr})
+        # mutate immediately after save returns — the background fetch
+        # must read the snapshot, not the live (donated/replaced) buffers
+        state = jax.tree_util.tree_map(lambda x: x * 0 - 7, state)
+        state = {"w": jnp.arange(4.0) + step, "step": jnp.asarray(step)}
+    assert mgr.best_step() == 2  # barriers on the in-flight save
+    best = mgr.restore(state)
+    assert int(best["step"]) == 2 and float(best["w"][1]) == 3.0
+    last = mgr.restore_last(state)
+    assert int(last["step"]) == 3
+    mgr.close()
+
+    # worker errors propagate at the barrier, not silently
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt2"), async_save=True)
+
+    def _boom(step, host_state, metrics):
+        raise RuntimeError("disk full")
+
+    mgr2._save_host = _boom
+    mgr2.save(1, {"w": jnp.arange(2.0)}, {"mrr": 0.1})
+    try:
+        mgr2.wait()
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised, "worker save error was swallowed"
+    mgr2.wait()  # error is raised once, then cleared
+    mgr2.close()
+
+
 def test_checkpoint_last_survives_kill_mid_copy(tmp_path):
     """A SIGKILL between _copy_last's renames leaves state.old; restore_last
     must fall back to it (the supervise drill kills at arbitrary points)."""

@@ -152,6 +152,7 @@ checkpoint_callback:
   mode: max
   save_top_k: {top_k}
   save_last: true
+  async_save: {async_save}
 seed: 0
 """
 
@@ -487,6 +488,11 @@ def main():
         "manually, e.g. a real infra kill followed by a requeue)",
     )
     ap.add_argument(
+        "--async-save", action="store_true",
+        help="background checkpoint saves (device snapshot -> off-thread "
+        "fetch+serialize) so the save pipeline overlaps training steps",
+    )
+    ap.add_argument(
         "--notes",
         default=None,
         help="free-text provenance recorded in the artifact",
@@ -532,6 +538,7 @@ def main():
                 ckpt=ckpt_dir,
                 top_k=args.top_k,
                 fused_ffn="true" if args.fused_ffn else "false",
+                async_save="true" if args.async_save else "false",
             )
         )
 
