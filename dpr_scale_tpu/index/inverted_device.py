@@ -680,14 +680,23 @@ class DeviceExpertIndex:
             # sequential stream-and-pick kernel (see _scores_streamed)
             scores = self._scores_streamed(vecs, qvecs, slots, steps)
         elif jax.default_backend() != "cpu" and D % 128 == 0:
-            # fused DMA-gather + score kernel (pipelined by default;
-            # DPR_GATHER_KERNEL=serial selects the r04 kernel for A/Bs)
+            # fused DMA-gather + score kernel. The double-buffered MXU
+            # variant (_scores_pallas) wins ISOLATED (363-379 GB/s vs the
+            # serial kernel's 18-60 at big-bucket shapes) but LOSES the
+            # in-program A/B at B=128/8.8M docs (546 vs 650 QPS wall,
+            # 333 vs 369 device-resident — /tmp-queue job1, r05): the
+            # score phase is no longer the in-program wall, and the
+            # pipelined kernel's extra VMEM pressure (2x buffers + MXU
+            # diag mask) costs more than the bandwidth it buys — the
+            # same isolated-wins/in-program-loses pattern as the r04
+            # stream scorer. Serial stays the default;
+            # DPR_GATHER_KERNEL=pipelined opts in for A/Bs.
             import os as _os
 
             fn = (
-                self._scores_pallas_serial
-                if _os.environ.get("DPR_GATHER_KERNEL") == "serial"
-                else self._scores_pallas
+                self._scores_pallas
+                if _os.environ.get("DPR_GATHER_KERNEL") == "pipelined"
+                else self._scores_pallas_serial
             )
             scores = fn(vecs, slots, qvecs)
         else:  # CPU tests / non-MXU dims: XLA gather + einsum
