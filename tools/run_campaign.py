@@ -680,7 +680,18 @@ def finish_and_write(args, report, retained, total_steps, steps_per_epoch,
         f"campaign ended at step {report['final_step']}, expected {total_steps}"
     )
     if getattr(args, "max_restore_gap_s", None) is not None:
-        gaps = [b["restore_gap_s"] for b in report["boundaries"]]
+        pause = report.get("pause")
+        gaps = []
+        for b in report["boundaries"]:
+            g = b["restore_gap_s"]
+            if pause and b["last_step_before_kill"] >= pause["paused_after_step"]:
+                # the pause boundary's wall clock includes the --pause-cmd
+                # runtime (e.g. the on-TPU validate gate) — scheduled
+                # downtime, not restore cost; assert on the
+                # requeue-to-first-log leg only, record both
+                g = max(0.0, g - pause["pause_wall_s"])
+                b["restore_gap_minus_pause_s"] = round(g, 1)
+            gaps.append(g)
         assert max(gaps) < args.max_restore_gap_s, (
             f"restore gap {max(gaps):.0f}s exceeds "
             f"{args.max_restore_gap_s}s — a deep-in-epoch resume that "
