@@ -8,13 +8,24 @@ encoder exactly once. (Optional length bucketing can be layered on top via
 """
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 
 class HFTokenizer:
-    """Thin wrapper over a HuggingFace fast tokenizer producing numpy batches."""
+    """Thin wrapper over a HuggingFace fast tokenizer producing numpy batches.
+
+    Thread safety: HF *fast* tokenizers wrap a Rust object whose
+    truncation/padding settings are mutated per call under a RefCell
+    borrow — two threads calling the same instance race to
+    ``RuntimeError: Already borrowed`` (e.g. the train-batch prefetch
+    thread vs the eval-batch prefetch thread at a mid-epoch validation).
+    Each OS thread therefore gets its OWN underlying tokenizer, built
+    lazily from ``model_path``; the wrapper object itself stays shared
+    and cheap to pass around.
+    """
 
     def __init__(
         self,
@@ -30,13 +41,29 @@ class HFTokenizer:
         keeping the number of distinct XLA programs bounded by
         ``max_seq_len / pad_to_multiple`` (dynamic shapes would recompile
         per batch). 0 = always pad to ``max_seq_len`` (single program)."""
-        from transformers import AutoTokenizer
-
-        self.tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=True)
         self.model_path = model_path
         self.max_seq_len = max_seq_len
         self.add_special_tokens = add_special_tokens
         self.pad_to_multiple = pad_to_multiple
+        self._tls = threading.local()
+        # eager load on the constructing thread so a bad path fails here,
+        # not inside a prefetch worker
+        self._load_for_this_thread()
+
+    def _load_for_this_thread(self):
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(self.model_path, use_fast=True)
+        self._tls.tok = tok
+        return tok
+
+    @property
+    def tokenizer(self):
+        """The per-thread underlying HF tokenizer (see class docstring)."""
+        tok = getattr(self._tls, "tok", None)
+        if tok is None:
+            tok = self._load_for_this_thread()
+        return tok
 
     @property
     def spec(self) -> dict:
